@@ -1,0 +1,216 @@
+"""Image preprocessing, split host/device the TPU-native way.
+
+The reference runs everything (normalize, flip, jitter-resize, crop, pad) per
+sample inside tf.data on host CPU (reference
+retinanet/dataloader/preprocessing_pipeline.py:7-129). We split instead:
+
+  * HOST (numpy + cv2): jpeg decode, random flip, scale-jitter resize, crop,
+    pad — cheap, variable-shape work that cannot be jitted. The host pads
+    with the per-channel mean so that after on-device normalization the pad
+    region is exactly 0.0, bit-matching the reference order
+    (normalize -> geometric ops -> zero pad).
+  * DEVICE (jnp, fused into the train step): normalization and anchor
+    matching (see label_encoder.py).
+
+Geometric semantics match reference preprocessing_pipeline.py:
+  _prepare_image (13-54): random_scale ~ U[min,max]; scale =
+  min(rs*th/h, rs*tw/w); resize to round(img*scale); random crop offset in
+  [0, scaled-target]+; pad top-left to target.
+  _prepare_labels (56-66): clip to [0, target], convert to xywh, drop
+  degenerate boxes.
+  val path (96-129): aspect-preserving resize-with-pad + resize_scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+import jax.numpy as jnp
+
+
+def _resize(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize with half-pixel centers (tf.image.resize parity)."""
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == image.shape[:2]:
+        return image.astype(np.float32, copy=False)
+    if _HAS_CV2:
+        return cv2.resize(image.astype(np.float32), (ow, oh),
+                          interpolation=cv2.INTER_LINEAR)
+    # Fallback: nearest via indexing (tests only).
+    ys = np.minimum(
+        ((np.arange(oh) + 0.5) * image.shape[0] / oh).astype(np.int64),
+        image.shape[0] - 1)
+    xs = np.minimum(
+        ((np.arange(ow) + 0.5) * image.shape[1] / ow).astype(np.int64),
+        image.shape[1] - 1)
+    return image[ys][:, xs].astype(np.float32)
+
+
+def flip_boxes_horizontal(boxes: np.ndarray) -> np.ndarray:
+    """Flip normalized corner boxes (reference dataloader/utils.py:49-55)."""
+    if boxes.size == 0:
+        return boxes
+    return np.stack(
+        [1.0 - boxes[:, 2], boxes[:, 1], 1.0 - boxes[:, 0], boxes[:, 3]],
+        axis=-1)
+
+
+class HostPreprocessor:
+    """Host-side geometric preprocessing for one sample.
+
+    Produces fixed-shape outputs ready for device transfer:
+      image: (H, W, 3) float32 raw-pixel domain, mean-padded
+      boxes: (max_boxes, 4) float32 center-format pixels (zero padded)
+      classes: (max_boxes,) int32
+      valid: (max_boxes,) bool
+    """
+
+    def __init__(self, params, max_boxes: int = 100):
+        self.target_h, self.target_w = (
+            int(params.input.input_shape[0]), int(params.input.input_shape[1]))
+        dl = params.dataloader_params
+        self.mean = np.asarray(dl.preprocessing.mean, dtype=np.float32)
+        self.stddev = np.asarray(dl.preprocessing.stddev, dtype=np.float32)
+        self.pixel_scale = float(dl.preprocessing.pixel_scale)
+        aug = dl.augmentations
+        self.use_augmentation = bool(aug.use_augmentation)
+        self.horizontal_flip = bool(
+            self.use_augmentation and aug.horizontal_flip)
+        if self.use_augmentation:
+            self.jitter = (float(aug.scale_jitter.min_scale),
+                           float(aug.scale_jitter.max_scale))
+        else:
+            self.jitter = None
+        self.max_boxes = int(max_boxes)
+
+    # -- train path ---------------------------------------------------------
+
+    def __call__(self,
+                 image: np.ndarray,
+                 boxes_norm: np.ndarray,
+                 classes: np.ndarray,
+                 rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """image: (h, w, 3) uint8/float raw pixels; boxes_norm: (n, 4)
+        normalized [0,1] corners; classes: (n,) ints."""
+        image = np.asarray(image, dtype=np.float32)
+        boxes_norm = np.asarray(boxes_norm, dtype=np.float32).reshape(-1, 4)
+        classes = np.asarray(classes, dtype=np.int32).reshape(-1)
+
+        if self.horizontal_flip and rng.uniform() > 0.5:
+            image = image[:, ::-1, :]
+            boxes_norm = flip_boxes_horizontal(boxes_norm)
+
+        th, tw = self.target_h, self.target_w
+        h, w = float(image.shape[0]), float(image.shape[1])
+
+        if self.jitter is not None:
+            random_scale = rng.uniform(self.jitter[0], self.jitter[1])
+            scaled_t = (random_scale * th, random_scale * tw)
+        else:
+            scaled_t = (float(th), float(tw))
+
+        scale = min(scaled_t[0] / h, scaled_t[1] / w)
+        scaled_shape = np.round(np.array([h, w]) * scale)
+        image_scale = scaled_shape / np.array([h, w])  # (sy, sx)
+
+        offset = np.zeros(2, dtype=np.int64)
+        if self.jitter is not None:
+            max_offset = np.maximum(scaled_shape - np.array([th, tw]), 0.0)
+            offset = (max_offset * rng.uniform(0, 1, size=2)).astype(np.int64)
+
+        resized = _resize(image, (int(scaled_shape[0]), int(scaled_shape[1])))
+        resized = resized[offset[0]:offset[0] + th, offset[1]:offset[1] + tw]
+
+        out = np.empty((th, tw, 3), dtype=np.float32)
+        out[:] = self.mean  # mean-pad == zero-pad post normalization
+        out[:resized.shape[0], :resized.shape[1]] = resized
+
+        # boxes: normalized corners -> pixels in the cropped frame
+        boxes = np.stack([
+            boxes_norm[:, 0] * w * image_scale[1] - offset[1],
+            boxes_norm[:, 1] * h * image_scale[0] - offset[0],
+            boxes_norm[:, 2] * w * image_scale[1] - offset[1],
+            boxes_norm[:, 3] * h * image_scale[0] - offset[0],
+        ], axis=-1) if boxes_norm.size else boxes_norm.reshape(0, 4)
+
+        boxes, classes = self._prepare_labels(boxes, classes)
+        return self._pad_labels(out, boxes, classes)
+
+    def _prepare_labels(self, boxes: np.ndarray, classes: np.ndarray):
+        """Clip to frame, convert to xywh, drop degenerate
+        (reference preprocessing_pipeline.py:56-66)."""
+        if boxes.size == 0:
+            return boxes.reshape(0, 4), classes[:0]
+        lim = np.array(
+            [self.target_w, self.target_h, self.target_w, self.target_h],
+            dtype=np.float32)
+        # NOTE: reference clips x and y coords both to [0, th] and [0, tw]
+        # via a tiled (th, tw) pair; for square inputs (all shipped configs)
+        # this is identical. We clip each coord to its own axis limit.
+        boxes = np.clip(boxes, 0.0, lim)
+        xywh = np.concatenate(
+            [(boxes[:, :2] + boxes[:, 2:]) / 2.0, boxes[:, 2:] - boxes[:, :2]],
+            axis=-1)
+        keep = (xywh[:, 2] > 0.0) & (xywh[:, 3] > 0.0)
+        return xywh[keep], classes[keep]
+
+    def _pad_labels(self, image, boxes, classes):
+        n = min(len(boxes), self.max_boxes)
+        out_boxes = np.zeros((self.max_boxes, 4), dtype=np.float32)
+        out_classes = np.zeros((self.max_boxes,), dtype=np.int32)
+        out_valid = np.zeros((self.max_boxes,), dtype=bool)
+        out_boxes[:n] = boxes[:n]
+        out_classes[:n] = classes[:n]
+        out_valid[:n] = True
+        return {"image": image, "boxes": out_boxes, "classes": out_classes,
+                "valid": out_valid}
+
+    # -- val / serving path --------------------------------------------------
+
+    def resize_with_pad(self, image: np.ndarray):
+        """Aspect-preserving resize + top-left pad. Returns (image,
+        resize_scale (sy, sx)) — reference preprocessing_pipeline.py:96-110."""
+        image = np.asarray(image, dtype=np.float32)
+        h, w = float(image.shape[0]), float(image.shape[1])
+        th, tw = self.target_h, self.target_w
+        scaled = np.round(np.array([h, w]) * min(th / h, tw / w))
+        resize_scale = scaled / np.array([h, w])
+        resized = _resize(image, (int(scaled[0]), int(scaled[1])))
+        out = np.empty((th, tw, 3), dtype=np.float32)
+        out[:] = self.mean
+        out[:resized.shape[0], :resized.shape[1]] = resized
+        return out, resize_scale.astype(np.float32)
+
+
+def normalize_image(image: jnp.ndarray,
+                    mean,
+                    stddev,
+                    pixel_scale: float = 1.0) -> jnp.ndarray:
+    """Device-side normalization (reference dataloader/utils.py:58-66)."""
+    mean = jnp.asarray(mean, dtype=jnp.float32).reshape(1, 1, -1)
+    stddev = jnp.asarray(stddev, dtype=jnp.float32).reshape(1, 1, -1)
+    image = image / pixel_scale
+    return (image - mean) / stddev
+
+
+def make_device_normalizer(params):
+    dl = params.dataloader_params.preprocessing
+    mean = tuple(float(m) for m in dl.mean)
+    stddev = tuple(float(s) for s in dl.stddev)
+    pixel_scale = float(dl.pixel_scale)
+
+    def _norm(images: jnp.ndarray) -> jnp.ndarray:
+        """images: (..., H, W, 3) raw pixels -> normalized float32."""
+        m = jnp.asarray(mean, jnp.float32)
+        s = jnp.asarray(stddev, jnp.float32)
+        return (images.astype(jnp.float32) / pixel_scale - m) / s
+
+    return _norm

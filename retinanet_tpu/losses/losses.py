@@ -1,0 +1,163 @@
+"""RetinaNet losses in JAX.
+
+Capability parity with reference retinanet/losses/loss_impl.py and
+retinanet_loss.py, redesigned for XLA fusion: everything is elementwise +
+masked sums over dense per-level target pyramids — XLA fuses the one-hot,
+sigmoid-CE, focal weighting and mask into a single kernel per level.
+
+Normalizer semantics (reference retinanet_loss.py:38-49): the reference
+all-reduces `sum(local num_positives) + 1` and divides by replica count.
+Under GSPMD the whole global batch flows through one program, so we use the
+equivalent global form `sum(num_positives) + 1` (difference: the reference
+effectively adds +1 per replica, we add +1 globally — O(R / num_matched)
+relative, negligible). The moving-average normalizer variant is supported
+via an explicit EMA state threaded by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sigmoid_focal_loss(logits: jnp.ndarray,
+                       targets_one_hot: jnp.ndarray,
+                       alpha: float,
+                       gamma: float,
+                       label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Elementwise sigmoid focal loss (reference loss_impl.py:4-28)."""
+    y = targets_one_hot
+    y_smooth = y * (1.0 - label_smoothing) + 0.5 * label_smoothing
+    # Stable sigmoid cross-entropy with logits.
+    ce = jnp.maximum(logits, 0.0) - logits * y_smooth + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    probs = jax.nn.sigmoid(logits)
+    alpha_t = jnp.where(y == 1.0, alpha, 1.0 - alpha)
+    pt = jnp.where(y == 1.0, probs, 1.0 - probs)
+    return alpha_t * jnp.power(1.0 - pt, gamma) * ce
+
+
+def huber_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray,
+               delta: float) -> jnp.ndarray:
+    """Elementwise Huber (reference loss_impl.py:80-105 via tf.losses.Huber)."""
+    err = y_pred - y_true
+    abs_err = jnp.abs(err)
+    quad = jnp.minimum(abs_err, delta)
+    return 0.5 * quad * quad + delta * (abs_err - quad)
+
+
+def class_loss(targets: Dict[str, jnp.ndarray],
+               predictions: Dict[str, jnp.ndarray],
+               num_classes: int,
+               alpha: float, gamma: float,
+               label_smoothing: float) -> jnp.ndarray:
+    """Summed focal loss over all levels; anchors with target == -2 are
+    ignored (reference loss_impl.py:31-77)."""
+    total = 0.0
+    for key, tgt in targets.items():
+        logits = predictions[key].astype(jnp.float32)
+        b, h, w, a = tgt.shape
+        one_hot = jax.nn.one_hot(tgt.astype(jnp.int32), num_classes,
+                                 dtype=jnp.float32)
+        one_hot = one_hot.reshape(b, h, w, a * num_classes)
+        loss = sigmoid_focal_loss(logits, one_hot, alpha, gamma,
+                                  label_smoothing)
+        ignore = (tgt != -2.0).astype(jnp.float32)[..., None]
+        ignore = jnp.broadcast_to(
+            ignore, (b, h, w, a, num_classes)).reshape(b, h, w,
+                                                       a * num_classes)
+        total = total + jnp.sum(loss * ignore)
+    return total
+
+
+def box_loss(targets: Dict[str, jnp.ndarray],
+             predictions: Dict[str, jnp.ndarray],
+             delta: float) -> jnp.ndarray:
+    """Summed Huber over nonzero box targets, / 4
+    (reference loss_impl.py:80-105)."""
+    total = 0.0
+    for key, tgt in targets.items():
+        pred = predictions[key].astype(jnp.float32)
+        mask = (tgt != 0.0).astype(jnp.float32)
+        total = total + jnp.sum(huber_loss(tgt, pred, delta) * mask)
+    return total / 4.0
+
+
+def iou_prediction_loss(targets: Dict[str, jnp.ndarray],
+                        predictions: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Summed MSE over anchors with IoU target > -1
+    (reference loss_impl.py:108-131)."""
+    total = 0.0
+    for key, tgt in targets.items():
+        pred = predictions[key].astype(jnp.float32)
+        mask = (tgt > -1.0).astype(jnp.float32)
+        total = total + jnp.sum(jnp.square(pred - tgt) * mask)
+    return total
+
+
+class RetinaNetLoss:
+    """Weighted detection loss (reference retinanet_loss.py:7-83).
+
+    Pure callable: no hidden state. When `use_moving_average` normalizer is
+    configured, pass `normalizer_ema` (a scalar state from the train state)
+    and the updated EMA is returned alongside the loss dict.
+    """
+
+    def __init__(self, num_classes: int, params):
+        self.num_classes = int(num_classes)
+        fl = params.focal_loss
+        self.alpha = float(fl.alpha)
+        self.gamma = float(fl.gamma)
+        self.label_smoothing = float(fl.label_smoothing)
+        self.delta = float(params.smooth_l1_loss.delta)
+        self.box_weight = float(params.box_loss_weight)
+        self.class_weight = float(params.class_loss_weight)
+        self.aux_weight = float(params.auxillary_loss_weight)
+        self.use_moving_average = bool(params.normalizer.use_moving_average)
+        self.normalizer_momentum = float(params.normalizer.momentum)
+
+    def __call__(
+        self,
+        targets: Dict,
+        predictions: Dict,
+        normalizer_ema: Optional[jnp.ndarray] = None,
+    ) -> Tuple[Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
+        batch_normalizer = jnp.sum(targets["num-positives"]) + 1.0
+
+        new_ema = None
+        if self.use_moving_average:
+            if normalizer_ema is None:
+                raise ValueError(
+                    "moving-average normalizer requires `normalizer_ema`")
+            m = self.normalizer_momentum
+            new_ema = normalizer_ema * m + batch_normalizer * (1.0 - m)
+            normalizer = new_ema
+        else:
+            normalizer = batch_normalizer
+
+        cls = class_loss(targets["class-targets"],
+                         predictions["class-predictions"],
+                         self.num_classes, self.alpha, self.gamma,
+                         self.label_smoothing) / normalizer
+        box = box_loss(targets["box-targets"],
+                       predictions["box-predictions"],
+                       self.delta) / normalizer
+
+        weighted = self.box_weight * box + self.class_weight * cls
+        losses = {
+            "box-loss": box,
+            "class-loss": cls,
+            "weighted-loss": weighted,
+            "num-anchors-matched": normalizer,
+        }
+        if "iou-predictions" in predictions:
+            iou = iou_prediction_loss(
+                targets["iou-targets"],
+                predictions["iou-predictions"]) / normalizer
+            losses["weighted-loss"] = weighted + self.aux_weight * iou
+            losses["iou-prediction-loss"] = iou
+        else:
+            losses["iou-prediction-loss"] = jnp.float32(0.0)
+        return losses, new_ema

@@ -1,0 +1,215 @@
+"""Shared model building blocks (Flax Linen), TPU-first.
+
+Capability parity with reference retinanet/model/utils.py and
+retinanet/model/layers/*. Design notes:
+
+  * Mixed precision: convs compute in `dtype` (bf16 under mixed_bfloat16)
+    with fp32 params; BatchNorm always normalizes in fp32 (matching Keras'
+    mixed-precision BN behavior) and casts back.
+  * Sync BatchNorm: under jit with a batch-sharded mesh, XLA's SPMD
+    partitioner turns the plain batch-moment reductions into global
+    cross-replica reductions automatically — the GSPMD equivalent of
+    tf.keras SyncBatchNormalization (reference model/utils.py:7-22). No
+    explicit axis_name is needed on the jit/NamedSharding path; `axis_name`
+    is still plumbed through for shard_map-based use.
+  * Nearest upsampling uses reshape+broadcast (layout-friendly on TPU,
+    mirroring the trick in reference model/layers/nearest_upsampling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_SUPPORTED_ACTIVATIONS = ("relu", "relu6", "swish")
+
+
+def get_activation(activation_type: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """reference model/utils.py:45-70."""
+    if activation_type not in _SUPPORTED_ACTIVATIONS:
+        raise ValueError(
+            f"Unsupported activation '{activation_type}'. "
+            f"Available: {_SUPPORTED_ACTIVATIONS}")
+    return {
+        "relu": jax.nn.relu,
+        "relu6": jax.nn.relu6,
+        "swish": jax.nn.swish,
+    }[activation_type]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm that always normalizes in fp32, then casts to `dtype`.
+
+    Under GSPMD data parallelism the batch-axis mean/var reductions are
+    global, i.e. this is sync-BN whenever the batch is sharded.
+    """
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        x32 = x.astype(jnp.float32)
+        y = nn.BatchNorm(
+            use_running_average=use_ra,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            scale_init=self.scale_init,
+            axis_name=self.axis_name,
+            name="bn")(x32)
+        return y.astype(self.dtype)
+
+
+class Conv2D(nn.Module):
+    """Conv with optional separable factorization.
+
+    Mirrors the reference's conv_2d_op switch (reference
+    model/neck/fpn_base.py:28-39): plain Conv2D vs SeparableConv2D, with
+    VarianceScaling default init. Computes in `dtype`, params in fp32.
+    """
+    filters: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    separable: bool = False
+    kernel_init: Callable = nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal")
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel_size, self.kernel_size)
+        s = (self.strides, self.strides)
+        if not self.separable:
+            return nn.Conv(
+                features=self.filters, kernel_size=k, strides=s,
+                padding=self.padding, use_bias=self.use_bias,
+                kernel_init=self.kernel_init, bias_init=self.bias_init,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="conv")(x)
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            features=in_ch, kernel_size=k, strides=s, padding=self.padding,
+            feature_group_count=in_ch, use_bias=False,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal"),
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name="depthwise")(x)
+        return nn.Conv(
+            features=self.filters, kernel_size=(1, 1), strides=(1, 1),
+            padding="SAME", use_bias=self.use_bias,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal"),
+            bias_init=self.bias_init,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name="pointwise")(x)
+
+
+def nearest_upsample(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """TPU-friendly nearest-neighbor upsample via reshape+broadcast
+    (reference model/layers/nearest_upsampling.py:5-35)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def max_pool(x: jnp.ndarray, window: int, strides: int,
+             padding: str = "VALID") -> jnp.ndarray:
+    return nn.max_pool(x, (window, window), (strides, strides), padding)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize to arbitrary size (for BalanceFeatures downscale)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    if oh % h == 0 and ow % w == 0 and oh // h == ow // w:
+        return nearest_upsample(x, oh // h)
+    return jax.image.resize(x, (b, oh, ow, c), method="nearest")
+
+
+class FeatureFusion(nn.Module):
+    """Fusion of two feature maps: 'sum' | 'fast_attention' |
+    'fast_channel_attention' (reference model/layers/feature_fusion.py:4-56).
+
+    Weighted modes use relu-gated normalized scalar/per-channel weights
+    (BiFPN-style fast attention).
+    """
+    mode: str = "sum"
+    filters: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lower, upper):
+        if self.mode == "sum":
+            return lower + upper
+        if self.mode not in ("fast_attention", "fast_channel_attention"):
+            raise ValueError(f"Unsupported fusion mode: {self.mode}")
+        shape = (1,) if self.mode == "fast_attention" else (self.filters,)
+        w_lower = self.param("lower_level_weight", nn.initializers.ones,
+                             shape, jnp.float32)
+        w_upper = self.param("upper_level_weight", nn.initializers.ones,
+                             shape, jnp.float32)
+        w_lower = jax.nn.relu(w_lower)
+        w_upper = jax.nn.relu(w_upper)
+        denom = w_lower + w_upper + 1e-4
+        lower = lower * (w_lower / denom).astype(self.dtype)
+        upper = upper * (w_upper / denom).astype(self.dtype)
+        return lower + upper
+
+
+class BalanceFeatures(nn.Module):
+    """Libra-R-CNN balanced feature redistribution
+    (reference model/layers/balance_features.py:6-60): resize every level to
+    the intermediate level, average, then residually redistribute.
+    """
+    min_level: int
+    max_level: int
+    intermediate_level: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features):
+        inter_key = str(self.intermediate_level)
+        target_hw = features[inter_key].shape[1:3]
+        num_levels = self.max_level - self.min_level + 1
+
+        pooled = []
+        for level in range(self.min_level, self.max_level + 1):
+            x = features[str(level)]
+            if level < self.intermediate_level:
+                factor = 2 ** (self.intermediate_level - level)
+                x = max_pool(x, factor, factor, padding="SAME")
+            elif level > self.intermediate_level:
+                x = resize_nearest(x, target_hw)
+            pooled.append(x)
+        mean_feat = sum(pooled) / num_levels
+
+        outputs = {}
+        for level in range(self.min_level, self.max_level + 1):
+            x = mean_feat
+            hw = features[str(level)].shape[1:3]
+            if level < self.intermediate_level:
+                x = resize_nearest(x, hw)
+            elif level > self.intermediate_level:
+                factor = 2 ** (level - self.intermediate_level)
+                x = max_pool(x, factor, factor, padding="SAME")
+            outputs[str(level)] = features[str(level)] + x
+        return outputs
