@@ -1,0 +1,115 @@
+"""Benchmark: flagship RetinaNet ResNet50-FPN 640x640 on the attached TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: training images/sec/chip at 640x640 (full step: on-device
+label encode + fwd + bwd + SGD update, bf16). Baseline: the reference's
+v3-32 steady state of ~40.3 imgs/s/chip (README.md:74-76, BASELINE.md).
+Extras report batched-inference FPS (decode+top-k+NMS included) vs the
+>90 FPS single-chip target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP = 40.3
+BASELINE_INFER_FPS = 90.0
+
+
+def main():
+    from __graft_entry__ import _flagship_params
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.data.label_encoder import make_batched_encoder
+    from retinanet_tpu.data.preprocessing import make_device_normalizer
+    from retinanet_tpu.data.synthetic import synthetic_train_batch
+    from retinanet_tpu.losses.losses import RetinaNetLoss
+    from retinanet_tpu.models.retinanet import build_model
+    from retinanet_tpu.ops.postprocess import make_inference_fn
+    from retinanet_tpu.optimizers.builder import build_optimizer
+    from retinanet_tpu.parallel import mesh as mesh_lib
+    from retinanet_tpu.train import step as step_lib
+    from retinanet_tpu.train.train_state import create_train_state
+
+    n_chips = jax.device_count()
+    params = _flagship_params()
+    train_bs = 16 * n_chips
+    infer_bs = 8
+
+    model = build_model(params)
+    anchors = anchor_lib.from_params(params)
+    encoder = make_batched_encoder(anchors, params.encoder_params)
+    normalizer = make_device_normalizer(params)
+    loss_fn = RetinaNetLoss(80, params.loss)
+    tx, schedule = build_optimizer(
+        params.training.optimizer, params.training.train_steps)
+
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 640, 640, 3)), train=False))(jax.random.PRNGKey(0))
+    state = jax.device_put(
+        create_train_state(variables, tx), mesh_lib.replicated(mesh))
+
+    train_step = jax.jit(
+        step_lib.make_train_step(
+            model, loss_fn, encoder, normalizer, tx, schedule,
+            use_weight_decay=True, weight_decay_alpha=1e-4,
+            compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,))
+
+    batch = mesh_lib.shard_batch(
+        synthetic_train_batch(train_bs, (640, 640), 100, 80, seed=0), mesh)
+
+    # warmup/compile
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["total-loss"])
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["total-loss"])
+    dt = (time.perf_counter() - t0) / steps
+    train_imgs_per_sec = train_bs / dt
+    train_imgs_per_sec_per_chip = train_imgs_per_sec / n_chips
+
+    # ---- batched inference (full serving path incl. NMS) -------------------
+    infer = jax.jit(make_inference_fn(
+        model, params, anchors, normalizer, compute_dtype=jnp.bfloat16))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (infer_bs, 640, 640, 3)),
+        jnp.float32)
+    det = infer(state.params, state.batch_stats, images)
+    jax.block_until_ready(det["scores"])
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        det = infer(state.params, state.batch_stats, images)
+    jax.block_until_ready(det["scores"])
+    infer_dt = (time.perf_counter() - t0) / reps
+    infer_fps = infer_bs / infer_dt
+
+    print(json.dumps({
+        "metric": "train images/sec/chip (640x640, bf16, full step)",
+        "value": round(train_imgs_per_sec_per_chip, 2),
+        "unit": "imgs/s/chip",
+        "vs_baseline": round(
+            train_imgs_per_sec_per_chip
+            / BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP, 3),
+        "train_batch_size": train_bs,
+        "train_step_ms": round(dt * 1000, 2),
+        "n_chips": n_chips,
+        "infer_fps_bs8": round(infer_fps, 1),
+        "infer_fps_vs_target90": round(infer_fps / BASELINE_INFER_FPS, 3),
+        "infer_latency_ms": round(infer_dt * 1000, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

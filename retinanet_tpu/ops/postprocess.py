@@ -1,0 +1,261 @@
+"""Inference post-processing: fuse -> decode -> top-k -> NMS.
+
+Capability parity with reference
+retinanet/model/layers/postprocessing_ops.py:
+
+  * fuse_predictions  == FuseDetections (ref:7-56)
+  * decode_detections == TransformBoxesAndScores (ref:59-117): sigmoid
+    scores; box decode xy = t_xy * a_wh + a_xy, wh = exp(t_wh) * a_wh ->
+    corners, normalized by input_shape; fp32 throughout (ref:111-112).
+  * filter_top_k      == FilterTopKDetections (ref:120-173), per-class or
+    global pre-NMS top-k.
+  * generate_detections == GenerateDetections (ref:177-561) with modes
+    CombinedNMS / GlobalSoftNMS / GlobalHardNMS / PerClassSoftNMS /
+    PerClassHardNMS — all TPU-safe here (the reference could only run the
+    two hard modes on TPU, ref:199-208).
+
+Output dict matches the reference serving signature: scores (B, max_det),
+boxes (B, max_det, 4) normalized corners, classes (B, max_det) int32,
+valid_detections (B,) int32; empty slots are -1 (ref:316-379).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from retinanet_tpu.data.anchors import AnchorGenerator
+from retinanet_tpu.ops import nms as nms_lib
+
+NMS_MODES = ("CombinedNMS", "GlobalSoftNMS", "GlobalHardNMS",
+             "PerClassSoftNMS", "PerClassHardNMS")
+
+
+def fuse_predictions(predictions: Dict, min_level: int,
+                     max_level: int) -> Dict[str, jnp.ndarray]:
+    """Per-level (B,H,W,A*C) maps -> flat (B, total_anchors, C)."""
+    cls_preds = predictions["class-predictions"]
+    box_preds = predictions["box-predictions"]
+    first = str(min_level)
+    anchors_per_loc = box_preds[first].shape[-1] // 4
+    num_classes = cls_preds[first].shape[-1] // anchors_per_loc
+    batch = box_preds[first].shape[0]
+
+    logits, boxes = [], []
+    for level in range(min_level, max_level + 1):
+        key = str(level)
+        b, h, w, _ = box_preds[key].shape
+        n = h * w * anchors_per_loc
+        logits.append(cls_preds[key].reshape(batch, n, num_classes))
+        boxes.append(box_preds[key].reshape(batch, n, 4))
+    return {
+        "class_logits": jnp.concatenate(logits, axis=1),
+        "encoded_boxes": jnp.concatenate(boxes, axis=1),
+    }
+
+
+def decode_detections(fused: Dict[str, jnp.ndarray],
+                      anchors: AnchorGenerator,
+                      input_shape,
+                      box_variance=(0.1, 0.1, 0.2, 0.2),
+                      scale_box_predictions: bool = False,
+                      ) -> Dict[str, jnp.ndarray]:
+    logits = fused["class_logits"].astype(jnp.float32)
+    encoded = fused["encoded_boxes"].astype(jnp.float32)
+
+    anchor_boxes = jnp.asarray(anchors.boxes)[None]  # (1, A, 4)
+    a_xy, a_wh = anchor_boxes[..., :2], anchor_boxes[..., 2:]
+
+    if scale_box_predictions:
+        encoded = encoded * jnp.asarray(box_variance, jnp.float32)
+
+    xy = encoded[..., :2] * a_wh + a_xy
+    wh = jnp.exp(encoded[..., 2:]) * a_wh
+    half = wh / 2.0
+    corners = jnp.concatenate([xy - half, xy + half], axis=-1)
+    h, w = float(input_shape[0]), float(input_shape[1])
+    corners = corners / jnp.asarray([w, h, w, h], jnp.float32)
+    return {"scores": jax.nn.sigmoid(logits), "boxes": corners}
+
+
+def filter_top_k(detections: Dict[str, jnp.ndarray],
+                 top_k: int,
+                 filter_per_class: bool = True) -> Dict[str, jnp.ndarray]:
+    scores = detections["scores"]       # (B, A, C)
+    boxes = detections["boxes"]         # (B, A, 4)
+    b, num_anchors, num_classes = scores.shape
+
+    if filter_per_class:
+        k = min(top_k, num_anchors)
+        scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
+        top_scores, idx = jax.lax.top_k(scores_t, k)     # (B, C, k)
+        top_boxes = jnp.take_along_axis(
+            boxes[:, None], idx[..., None], axis=2)      # (B, C, k, 4)
+        return {
+            "scores": jnp.swapaxes(top_scores, 1, 2),    # (B, k, C)
+            "boxes": jnp.swapaxes(top_boxes, 1, 2),      # (B, k, C, 4)
+        }
+    k = min(top_k, num_anchors * num_classes)
+    flat = scores.reshape(b, num_anchors * num_classes)
+    _, idx = jax.lax.top_k(flat, k)
+    anchor_idx = idx // num_classes                       # (B, k)
+    return {
+        "scores": jnp.take_along_axis(
+            scores, anchor_idx[..., None], axis=1),      # (B, k, C)
+        "boxes": jnp.take_along_axis(
+            boxes, anchor_idx[..., None], axis=1),       # (B, k, 4)
+    }
+
+
+def _finalize(boxes, scores, classes, valid, max_detections):
+    """Mask empty / sub-threshold slots to -1 (reference ref:316-379)."""
+    mask = scores > -0.5
+    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    mask = mask & (slot < valid[:, None])
+    boxes = jnp.where(mask[..., None], boxes, -1.0)
+    classes = jnp.where(mask, classes, -1)
+    scores = jnp.where(mask, scores, -1.0)
+    return {
+        "scores": scores,
+        "boxes": boxes,
+        "classes": classes.astype(jnp.int32),
+        "valid_detections": valid.astype(jnp.int32),
+    }
+
+
+def _per_class_nms(scores, boxes, *, num_classes, max_detections,
+                   iou_threshold, score_threshold, soft_nms_sigma, soft):
+    """scores (B, k, C); boxes (B, k, C, 4) or (B, k, 4) class-agnostic."""
+    b = scores.shape[0]
+    scores_c = jnp.swapaxes(scores, 1, 2)                 # (B, C, k)
+    if boxes.ndim == 4:
+        boxes_c = jnp.swapaxes(boxes, 1, 2)               # (B, C, k, 4)
+    else:
+        boxes_c = jnp.broadcast_to(
+            boxes[:, None], (b, num_classes) + boxes.shape[1:])
+
+    def one(bx, sc):
+        # NonMaxSuppressionV5 semantics: soft mode uses iou_threshold=1.0
+        res = nms_lib.nms_select(
+            bx, sc, max_detections,
+            iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
+            else iou_threshold,
+            score_threshold=score_threshold,
+            soft_nms_sigma=soft_nms_sigma, soft=soft)
+        sel_boxes = bx[res.indices]
+        sel_scores = jnp.where(res.scores > -0.5, res.scores, -1.0)
+        return sel_boxes, sel_scores
+
+    sel_boxes, sel_scores = jax.vmap(jax.vmap(one))(boxes_c, scores_c)
+    # (B, C, max_det, 4) / (B, C, max_det)
+    classes = jax.lax.broadcasted_iota(
+        jnp.int32, sel_scores.shape, 1)
+
+    flat_scores = sel_scores.reshape(b, -1)
+    flat_boxes = sel_boxes.reshape(b, -1, 4)
+    flat_classes = classes.reshape(b, -1)
+    top_scores, idx = jax.lax.top_k(flat_scores, max_detections)
+    top_boxes = jnp.take_along_axis(flat_boxes, idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(flat_classes, idx, axis=1)
+    valid = jnp.sum((top_scores > score_threshold).astype(jnp.int32), axis=1)
+    # reference masks by score_threshold post top-k (ref:355-371)
+    keep = top_scores > score_threshold
+    top_scores = jnp.where(keep, top_scores, -1.0)
+    return _finalize(top_boxes, top_scores, top_classes, valid,
+                     max_detections)
+
+
+def _global_nms(scores, boxes, *, max_detections, iou_threshold,
+                score_threshold, soft_nms_sigma, soft):
+    """scores (B, k, C); boxes (B, k, 4)."""
+    max_scores = jnp.max(scores, axis=-1)
+    classes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    def one(bx, sc):
+        res = nms_lib.nms_select(
+            bx, sc, max_detections,
+            iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
+            else iou_threshold,
+            score_threshold=score_threshold,
+            soft_nms_sigma=soft_nms_sigma, soft=soft)
+        return res.indices, res.scores, res.valid
+
+    idx, sel_scores, valid = jax.vmap(one)(boxes, max_scores)
+    sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    sel_classes = jnp.take_along_axis(classes, idx, axis=1)
+    return _finalize(sel_boxes, sel_scores, sel_classes, valid,
+                     max_detections)
+
+
+def generate_detections(detections: Dict[str, jnp.ndarray],
+                        mode: str,
+                        num_classes: int,
+                        max_detections: int = 100,
+                        iou_threshold: float = 0.5,
+                        score_threshold: float = 0.05,
+                        soft_nms_sigma: float = 0.5) -> Dict[str, jnp.ndarray]:
+    if mode not in NMS_MODES:
+        raise ValueError(f"mode must be one of {NMS_MODES}, got {mode}")
+    scores = detections["scores"].astype(jnp.float32)
+    boxes = jnp.clip(detections["boxes"].astype(jnp.float32), 0.0, 1.0)
+
+    common = dict(max_detections=max_detections,
+                  iou_threshold=iou_threshold,
+                  score_threshold=score_threshold)
+    if mode == "CombinedNMS":
+        return _per_class_nms(scores, boxes, num_classes=num_classes,
+                              soft_nms_sigma=0.0, soft=False, **common)
+    if mode == "PerClassHardNMS":
+        return _per_class_nms(scores, boxes, num_classes=num_classes,
+                              soft_nms_sigma=0.0, soft=False, **common)
+    if mode == "PerClassSoftNMS":
+        return _per_class_nms(scores, boxes, num_classes=num_classes,
+                              soft_nms_sigma=soft_nms_sigma / 2.0, soft=True,
+                              **common)
+    if mode == "GlobalHardNMS":
+        return _global_nms(scores, boxes, soft_nms_sigma=0.0, soft=False,
+                           **common)
+    return _global_nms(scores, boxes, soft_nms_sigma=soft_nms_sigma / 2.0,
+                       soft=True, **common)
+
+
+def make_inference_fn(model, params, anchors: AnchorGenerator,
+                      normalizer, compute_dtype=jnp.bfloat16,
+                      skip_decoding: bool = False, skip_nms: bool = False):
+    """End-to-end serving function: raw images -> final detections.
+
+    Mirrors ModelBuilder.add_post_processing_stage (reference
+    model/builder.py:153-190) incl. the export-mode skips.
+    """
+    inf = params.inference
+    ff = params.architecture.feature_fusion
+    min_level, max_level = int(ff.min_level), int(ff.max_level)
+    num_classes = int(params.architecture.head.num_classes)
+
+    def infer(model_params, batch_stats, images):
+        images = normalizer(images).astype(compute_dtype)
+        preds = model.apply(
+            {"params": model_params, "batch_stats": batch_stats},
+            images, train=False)
+        fused = fuse_predictions(preds, min_level, max_level)
+        if skip_decoding:
+            return fused
+        decoded = decode_detections(
+            fused, anchors, params.input.input_shape,
+            tuple(params.encoder_params.box_variance),
+            bool(params.encoder_params.scale_box_targets))
+        filtered = filter_top_k(
+            decoded, int(inf.pre_nms_top_k), bool(inf.filter_per_class))
+        if skip_nms:
+            return filtered
+        return generate_detections(
+            filtered, mode=inf.mode, num_classes=num_classes,
+            max_detections=int(inf.max_detections),
+            iou_threshold=float(inf.iou_threshold),
+            score_threshold=float(inf.score_threshold),
+            soft_nms_sigma=float(inf.soft_nms_sigma))
+
+    return infer

@@ -82,8 +82,9 @@ def from_params(lr_params, total_steps: int):
         return piecewise_constant_decay_with_warmup(
             warmup_learning_rate=lr_params.warmup_learning_rate,
             warmup_steps=lr_params.warmup_steps,
-            boundaries=list(lr_params.boundaries),
-            values=list(lr_params.values))
+            boundaries=list(lr_params["boundaries"]),
+            # NOTE: indexed access — 'values' collides with dict.values
+            values=list(lr_params["values"]))
     if kind == "cosine_decay":
         return cosine_decay_with_warmup(
             initial_learning_rate=lr_params.initial_learning_rate,

@@ -1,0 +1,375 @@
+"""Executor: training / evaluation / continuous-eval driver.
+
+Capability parity with reference retinanet/executor.py:17-778, redesigned
+TPU-native:
+
+  * ONE jitted, state-donating train step (forward+loss+backward+update and
+    on-device label encoding fused by XLA) instead of strategy.run inside
+    tf.function (ref:409-453). `steps_per_execution` is available via
+    lax.scan multi-stepping (train/step.py:make_multi_step) but per-step
+    dispatch already keeps the TPU busy thanks to JAX async dispatch.
+  * GSPMD data parallelism over a 1-D mesh (parallel/mesh.py) instead of
+    TPUStrategy (ref distribute.py) — gradient all-reduce, sync-BN and the
+    loss-normalizer sum are inserted by the XLA partitioner.
+  * Orbax checkpointing of the full TrainState {params, batch_stats,
+    opt_state, step, EMA} (ref save_weights/restore, ref:221-253, 649-654);
+    resume picks the latest step; the recovery path rewinds one
+    save-interval (ref train() retry loop, ref:705-734).
+  * Loss-inflection auto-recovery (ref:679-687 + loss_diagnostics.py).
+  * EMA weight swap for eval (ref:255-267, 477-478).
+  * Profiler window via jax.profiler (ref:547-560, 598-629).
+  * Metrics: JSONL + TensorBoard scalars, EMA imgs/s + ETA console logs,
+    optional Discord webhook (ref:346-383, 637-677).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from retinanet_tpu.core.config import ConfigDict
+from retinanet_tpu.data import anchors as anchor_lib
+from retinanet_tpu.data.label_encoder import make_batched_encoder
+from retinanet_tpu.data.preprocessing import make_device_normalizer
+from retinanet_tpu.eval.coco_evaluator import COCOEvaluator
+from retinanet_tpu.losses.losses import RetinaNetLoss
+from retinanet_tpu.models.retinanet import build_model, _compute_dtype
+from retinanet_tpu.ops.postprocess import make_inference_fn
+from retinanet_tpu.optimizers.builder import build_optimizer
+from retinanet_tpu.parallel import mesh as mesh_lib
+from retinanet_tpu.train import step as step_lib
+from retinanet_tpu.train.diagnostics import (
+    AverageMeter, DiscordLogger, InflectionDetector, MetricsLogger,
+    format_eta)
+from retinanet_tpu.train.train_state import TrainState, create_train_state
+
+_RUN_MODES = ("train", "val", "train_val", "continuous_eval", "export")
+
+
+class Executor:
+    def __init__(self,
+                 params: ConfigDict,
+                 run_mode: str,
+                 model_dir: Optional[str] = None,
+                 resume_from: Optional[str] = None,
+                 is_multi_host: bool = False,
+                 train_input_fn: Optional[Callable[[], Iterator]] = None,
+                 val_input_fn: Optional[Callable[[], Iterator]] = None,
+                 max_boxes: int = 100,
+                 enable_tensorboard: bool = True):
+        if run_mode not in _RUN_MODES:
+            raise ValueError(f"run_mode must be one of {_RUN_MODES}")
+        self.params = params
+        self.run_mode = run_mode
+        self.is_multi_host = is_multi_host
+        self.train_input_fn = train_input_fn
+        self.val_input_fn = val_input_fn
+        self.max_boxes = max_boxes
+
+        self.model_dir = os.path.abspath(
+            model_dir or os.path.join(
+                params.experiment.get("model_dir", "model_files"),
+                params.experiment.name))
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.resume_from = resume_from
+
+        t = params.training
+        self.train_steps = int(t.train_steps)
+        self.steps_per_execution = int(t.get("steps_per_execution", 1))
+        self.save_every = int(t.save_every)
+        self.val_freq = int(t.get("validation_freq", -1))
+        self.batch_size = dict(t.batch_size)
+        self.use_ema = bool(t.optimizer.get("use_moving_average", False))
+        self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
+
+        self.mesh = mesh_lib.create_mesh()
+        self.compute_dtype = _compute_dtype(params.floatx.precision)
+
+        # -- model / loss / optimizer ----------------------------------------
+        self.model = build_model(params)
+        self.anchors = anchor_lib.from_params(params)
+        self.encoder = make_batched_encoder(
+            self.anchors, params.encoder_params,
+            use_iou_targets=bool(
+                params.architecture.auxillary_head.use_auxillary_head))
+        self.normalizer = make_device_normalizer(params)
+        self.loss_fn = RetinaNetLoss(
+            int(params.architecture.head.num_classes), params.loss)
+        self.tx, self.schedule = build_optimizer(
+            t.optimizer, self.train_steps,
+            freeze_variables=list(t.get("freeze_variables", [])),
+            precision=params.floatx.precision)
+
+        self._train_step = jax.jit(
+            step_lib.make_train_step(
+                self.model, self.loss_fn, self.encoder, self.normalizer,
+                self.tx, self.schedule,
+                use_weight_decay=bool(t.use_weight_decay),
+                weight_decay_alpha=float(t.weight_decay_alpha),
+                compute_dtype=self.compute_dtype,
+                ema_decay=self.ema_decay if self.use_ema else None),
+            donate_argnums=(0,))
+
+        self._inference_fn = None  # built lazily for eval
+
+        # -- checkpointing -----------------------------------------------------
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.ckpt_dir = os.path.join(self.model_dir, "checkpoints")
+        self.ckpt_manager = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=10, create=True))
+
+        # -- observability ------------------------------------------------------
+        self.metrics = MetricsLogger(
+            os.path.join(self.model_dir, "logs"), "train",
+            use_tensorboard=enable_tensorboard)
+        self.discord = DiscordLogger()
+        rec = t.recovery
+        self._use_inflection = bool(rec.use_inflection_detector)
+        self._inflection = InflectionDetector(
+            rec.metric_key, float(rec.threshold)) if self._use_inflection \
+            else None
+        self._max_trials = int(rec.get("max_trials", 1))
+        self._current_trial = 1
+        self._profile_start_step = int(
+            os.environ.get("PROFILE_START_STEP", 10))
+        self._profile_end_step = int(os.environ.get("PROFILE_END_STEP", 12))
+        self._profiling = False
+
+        self.state: Optional[TrainState] = None
+        self._setup_state()
+
+    # ------------------------------------------------------------------ state
+
+    def _init_state(self) -> TrainState:
+        h, w = self.params.input.input_shape
+        dummy = jnp.zeros((1, int(h), int(w),
+                           int(self.params.input.channels)), jnp.float32)
+        variables = jax.jit(
+            lambda k: self.model.init(k, dummy, train=False))(
+                jax.random.PRNGKey(
+                    int(self.params.experiment.get("seed", 0))))
+        state = create_train_state(
+            variables, self.tx, use_ema=self.use_ema,
+            use_normalizer_ema=self.loss_fn.use_moving_average)
+        return jax.device_put(state, mesh_lib.replicated(self.mesh))
+
+    def _setup_state(self) -> None:
+        self.state = self._init_state()
+        if self.resume_from is not None:
+            self._restore_checkpoint(step=int(self.resume_from))
+        elif (self.params.training.restore_checkpoint
+                and self.latest_checkpoint_step() is not None):
+            self._restore_checkpoint(step=self.latest_checkpoint_step())
+
+    def latest_checkpoint_step(self) -> Optional[int]:
+        return self.ckpt_manager.latest_step()
+
+    def _save_checkpoint(self, step: int) -> None:
+        self.ckpt_manager.save(
+            step, args=self._ocp.args.StandardSave(
+                jax.device_get(self.state)))
+        self.ckpt_manager.wait_until_finished()
+
+    def _restore_checkpoint(self, step: int) -> None:
+        abstract = jax.tree_util.tree_map(
+            self._ocp.utils.to_shape_dtype_struct, jax.device_get(self.state))
+        restored = self.ckpt_manager.restore(
+            step, args=self._ocp.args.StandardRestore(abstract))
+        self.state = jax.device_put(
+            restored, mesh_lib.replicated(self.mesh))
+        logging.info("Restored checkpoint at step %d from %s",
+                     step, self.ckpt_dir)
+
+    # ------------------------------------------------------------------ train
+
+    def run(self):
+        if self.run_mode in ("train", "train_val"):
+            return self.train()
+        if self.run_mode == "val":
+            return self.evaluate()
+        if self.run_mode == "continuous_eval":
+            return self.continuous_evaluate()
+        raise ValueError(f"run() not supported for mode {self.run_mode}")
+
+    def _maybe_profile(self, step: int) -> None:
+        spe = self.steps_per_execution
+        if step == spe * self._profile_start_step and not self._profiling:
+            profile_dir = os.path.join(self.model_dir, "profile")
+            logging.info("Starting profiler at step %d -> %s",
+                         step, profile_dir)
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+        elif step >= spe * self._profile_end_step and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("Stopped profiler at step %d", step)
+
+    def _run_training_loop(self) -> bool:
+        state = self.state
+        current = int(state.step)
+        if current >= self.train_steps:
+            logging.info("Training already completed at step %d", current)
+            return True
+
+        train_iter = iter(self.train_input_fn())
+        meter = AverageMeter()
+        global_bs = int(self.batch_size["train"])
+
+        logging.info(
+            "Starting training from step %d for %d steps (trial %d/%d)",
+            current, self.train_steps, self._current_trial, self._max_trials)
+
+        while current < self.train_steps:
+            t0 = time.time()
+            batch = next(train_iter)
+            sharded = mesh_lib.shard_batch(batch, self.mesh)
+            state, metrics = self._train_step(state, sharded)
+            self._maybe_profile(current)
+            metrics = jax.device_get(metrics)
+            dt = time.time() - t0
+            current = int(state.step)
+            self.state = state
+
+            meter.accumulate(1.0 / dt)
+            imgs_per_sec = meter.averaged_value * global_bs
+            eta = format_eta(
+                (self.train_steps - current)
+                / max(meter.averaged_value, 1e-6))
+
+            metrics["execution-time"] = round(dt, 4)
+            if current % max(self.steps_per_execution, 1) == 0 \
+                    or current == self.train_steps:
+                self.metrics.log(current, metrics)
+                logging.info(
+                    "[trial %d/%d][step %d/%d][ETA %s][%.1f imgs/s] %s",
+                    self._current_trial, self._max_trials, current,
+                    self.train_steps, eta, imgs_per_sec,
+                    {k: round(float(v), 4) for k, v in metrics.items()})
+
+            if self.save_every and current % self.save_every == 0:
+                self._save_checkpoint(current)
+
+            if self._use_inflection:
+                value = float(metrics.get(self._inflection.name, 0.0))
+                if self._inflection.is_value_anomalous(value):
+                    logging.warning(
+                        "Inflection detected in %s; recent: %s",
+                        self._inflection.name, self._inflection.data[-5:])
+                    self._current_trial += 1
+                    return False
+
+            if (self.val_freq > 0 and current % self.val_freq == 0
+                    and "val" in self.run_mode):
+                self.evaluate()
+
+        logging.info("Saving final checkpoint at step %d", current)
+        self._save_checkpoint(current)
+        if "val" in self.run_mode and self.val_freq <= 0:
+            self.evaluate()
+        return True
+
+    def train(self):
+        """Training with inflection-recovery retries: on anomaly, rewind to
+        the checkpoint one save-interval before latest
+        (reference executor.py:705-734)."""
+        if self.train_input_fn is None:
+            raise ValueError("train_input_fn is required for training")
+        done = self._run_training_loop()
+        while not done and self._current_trial <= self._max_trials:
+            latest = self.latest_checkpoint_step()
+            if latest is not None:
+                rewind = self.save_every * ((latest // self.save_every) - 1)
+                if rewind <= 0:
+                    break
+                steps = self.ckpt_manager.all_steps()
+                target = max((s for s in steps if s <= rewind), default=None)
+                if target is None:
+                    break
+                self._restore_checkpoint(step=target)
+            if self._inflection is not None:
+                self._inflection.reset()
+            done = self._run_training_loop()
+        if not done:
+            logging.warning("Training failed after %d trials",
+                            self._current_trial)
+        return done
+
+    # ------------------------------------------------------------------- eval
+
+    def _build_inference(self):
+        if self._inference_fn is None:
+            infer = make_inference_fn(
+                self.model, self.params, self.anchors, self.normalizer,
+                compute_dtype=self.compute_dtype)
+            self._inference_fn = jax.jit(infer)
+        return self._inference_fn
+
+    def _eval_params(self):
+        """EMA swap-in for evaluation when configured (ref:255-267)."""
+        if self.use_ema and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
+    def evaluate(self) -> Dict[str, float]:
+        if self.val_input_fn is None:
+            raise ValueError("val_input_fn is required for evaluation")
+        infer = self._build_inference()
+        evaluator = COCOEvaluator(
+            input_shape=self.params.input.input_shape,
+            annotation_file_path=(
+                self.params.training.annotation_file_path),
+            prediction_file_path=os.path.join(
+                self.model_dir, "predictions.json"),
+            remap_class_ids=bool(
+                self.params.training.get("remap_class_ids", False)))
+
+        params = self._eval_params()
+        n_batches = 0
+        for batch in self.val_input_fn():
+            images = mesh_lib.shard_batch(
+                {"image": batch["image"]}, self.mesh)["image"]
+            detections = jax.device_get(
+                infer(params, self.state.batch_stats, images))
+            evaluator.accumulate_results({
+                "image_id": batch["image_id"],
+                "detections": detections,
+                "resize_scale": batch["resize_scale"],
+            })
+            n_batches += 1
+        logging.info("Evaluated %d batches", n_batches)
+        scores = evaluator.evaluate()
+        step = int(self.state.step)
+        self.metrics.log(step, {f"evaluation/{k}": v
+                                for k, v in scores.items()})
+        if self.discord.enabled:
+            self.discord.log(f"[step {step}] eval: {scores}")
+        logging.info("Evaluation at step %d: %s", step, scores)
+        return scores
+
+    def continuous_evaluate(self, sleep_time: int = 60,
+                            max_iterations: Optional[int] = None):
+        """Poll for new checkpoints and evaluate each
+        (reference executor.py:455-470)."""
+        current = None
+        iterations = 0
+        while max_iterations is None or iterations < max_iterations:
+            latest = self.latest_checkpoint_step()
+            if latest is not None and latest != current:
+                self._restore_checkpoint(step=latest)
+                self.evaluate()
+                current = latest
+            if int(self.state.step) >= self.train_steps:
+                return
+            iterations += 1
+            logging.info("Sleeping %ds before checking for new checkpoint",
+                         sleep_time)
+            time.sleep(sleep_time)

@@ -1,0 +1,157 @@
+"""The jitted train / eval step factories.
+
+TPU-native redesign of the reference's Executor._train_step
+(reference executor.py:409-441) + distributed_train_step (443-453):
+
+  * ONE jitted program contains: device-side image normalization, anchor
+    matching / label encoding (moved off host CPU — the reference's
+    per-sample cost center), forward, loss, backward, gradient clipping and
+    the optimizer update. XLA fuses across all of it.
+  * Data parallelism is pure GSPMD: the batch arrives sharded over the
+    'data' mesh axis, params replicated; XLA inserts the gradient
+    all-reduce, the loss-normalizer global sum (reference
+    retinanet_loss.py:46-49's explicit all_reduce) and sync-BN moment
+    reductions (reference model/utils.py:7-22) automatically.
+  * `steps_per_execution` (reference executor.py:605-621's on-device
+    multi-step loop) maps to `lax.scan` over a leading step axis —
+    see make_multi_step.
+  * The whole TrainState is donated — parameters are updated in place.
+  * Weight decay: explicit L2 penalty over conv kernels added to the loss
+    (reference executor.py:296-327 semantics, applied to every param whose
+    path ends in 'kernel').
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from retinanet_tpu.losses.losses import RetinaNetLoss
+from retinanet_tpu.train.train_state import TrainState
+
+
+def _conv_kernel_mask(params) -> list:
+    """Leaves (by path) subject to weight decay: conv/dense kernels only —
+    never BN scale/bias or conv biases (reference executor.py:301-327)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    mask = []
+    for key_path, _leaf in flat:
+        path = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
+        mask.append(path.endswith("kernel"))
+    return mask
+
+
+def weight_decay_loss(params, alpha: float) -> jnp.ndarray:
+    """alpha * sum(l2_loss(kernel)) with l2_loss(x) = sum(x^2)/2
+    (reference executor.py:296-299)."""
+    flat, _ = jax.tree_util.tree_flatten(params)
+    mask = _conv_kernel_mask(params)
+    total = jnp.float32(0.0)
+    for use, leaf in zip(mask, flat):
+        if use:
+            total += 0.5 * jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return alpha * total
+
+
+def make_train_step(model,
+                    loss_fn: RetinaNetLoss,
+                    encoder: Callable,
+                    normalizer: Callable,
+                    tx: optax.GradientTransformation,
+                    schedule: Callable,
+                    use_weight_decay: bool,
+                    weight_decay_alpha: float,
+                    compute_dtype=jnp.bfloat16,
+                    ema_decay: Optional[float] = None):
+    """Returns step(state, batch) -> (state, metrics). Jit with
+    donate_argnums=(0,)."""
+
+    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        images = normalizer(batch["image"]).astype(compute_dtype)
+        targets = encoder(batch["boxes"], batch["classes"], batch["valid"])
+
+        def compute_loss(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            losses, new_norm_ema = loss_fn(
+                targets, preds, state.normalizer_ema)
+            total = losses["weighted-loss"]
+            if use_weight_decay:
+                l2 = weight_decay_loss(params, weight_decay_alpha)
+                losses["l2-regularization"] = l2
+                total = total + l2
+            losses["total-loss"] = total
+            return total, (losses, mutated["batch_stats"], new_norm_ema)
+
+        grads, (losses, new_batch_stats, new_norm_ema) = jax.grad(
+            compute_loss, has_aux=True)(state.params)
+
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay is not None:
+            # tfa MovingAverage with dynamic_decay: min(decay, (1+t)/(10+t))
+            t = state.step.astype(jnp.float32)
+            decay = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * decay + p * (1.0 - decay),
+                state.ema_params, new_params)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            normalizer_ema=(new_norm_ema if new_norm_ema is not None
+                            else state.normalizer_ema),
+        )
+
+        batch_size = batch["image"].shape[0]
+        metrics = dict(losses)
+        # per-image normalizer count (reference executor.py:438)
+        metrics["num-anchors-matched"] = (
+            losses["num-anchors-matched"] / batch_size)
+        metrics["gradient-norm"] = optax.global_norm(grads)
+        metrics["learning-rate"] = schedule(state.step)
+        return new_state, metrics
+
+    return step
+
+
+def make_multi_step(step_fn: Callable):
+    """steps_per_execution analog: scan `step_fn` over batches stacked on a
+    leading axis; returns the LAST step's metrics (the reference reports a
+    strategy MEAN of the final inner step — executor.py:450-452)."""
+
+    def multi_step(state: TrainState, stacked_batch: Dict):
+        def body(carry, batch):
+            new_state, metrics = step_fn(carry, batch)
+            return new_state, metrics
+
+        state, metrics_seq = jax.lax.scan(body, state, stacked_batch)
+        metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics_seq)
+        return state, metrics
+
+    return multi_step
+
+
+def make_eval_forward(model, compute_dtype=jnp.bfloat16):
+    """Forward pass with frozen batch stats (training=False) producing raw
+    per-level predictions; postprocessing attaches separately
+    (see ops/postprocess.py)."""
+
+    def forward(params, batch_stats, images):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images.astype(compute_dtype), train=False)
+
+    return forward

@@ -2,8 +2,14 @@
 reference's virtual-GPU multi-device trick, see SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The installed 'axon' TPU plugin overrides JAX_PLATFORMS from the
+# environment, so pin the platform through the config API too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,146 @@
+"""TFRecord I/O, host pipeline and preprocessing tests."""
+
+import numpy as np
+import pytest
+
+from retinanet_tpu.core import config as cfg
+from retinanet_tpu.data import tfrecord as tfr
+from retinanet_tpu.data.pipeline import InputPipeline
+from retinanet_tpu.data.preprocessing import HostPreprocessor
+from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
+
+
+def test_example_roundtrip():
+    boxes = np.array([[0.1, 0.2, 0.5, 0.6], [0.0, 0.3, 0.9, 1.0]],
+                     np.float32)
+    classes = np.array([3, 79], np.int64)
+    rec = tfr.make_detection_example(b"jpegbytes", 42, boxes, classes)
+    parsed = tfr.parse_detection_example(rec)
+    assert parsed["image"] == b"jpegbytes"
+    assert parsed["image_id"] == 42
+    np.testing.assert_allclose(parsed["boxes"], boxes)
+    np.testing.assert_array_equal(parsed["classes"], classes)
+
+
+def test_record_writer_reader_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    records = [b"a" * 10, b"b" * 1000, b""]
+    with tfr.RecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    out = list(tfr.read_records(path, verify_crc=True))
+    assert out == records
+
+
+def test_empty_boxes_example():
+    rec = tfr.make_detection_example(
+        b"img", 1, np.zeros((0, 4), np.float32), np.zeros((0,), np.int64))
+    parsed = tfr.parse_detection_example(rec)
+    assert parsed["boxes"].shape == (0, 4)
+    assert len(parsed["classes"]) == 0
+
+
+def _params(tmp_path, pattern, input_shape=(64, 64), bs=4):
+    return cfg.from_dict({
+        "experiment": {"name": "t"},
+        "input": {"input_shape": list(input_shape), "channels": 3},
+        "architecture": {
+            "backbone": {"type": "resnet", "depth": 10},
+            "feature_fusion": {"type": "fpn", "filters": 16,
+                               "min_level": 3, "max_level": 5,
+                               "backbone_max_level": 5},
+            "head": {"num_convs": 1, "filters": 16, "num_classes": 6,
+                     "num_anchors": 9},
+        },
+        "anchor_params": {"areas": [1024.0, 4096.0, 16384.0],
+                          "aspect_ratios": [0.5, 1.0, 2.0],
+                          "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
+        "training": {"batch_size": {"train": bs, "val": bs},
+                     "train_steps": 10, "save_every": 5,
+                     "optimizer": {
+                         "name": "sgd",
+                         "lr_params": {
+                             "schedule_type": "piecewise_constant_decay",
+                             "warmup_learning_rate": 0.001,
+                             "warmup_steps": 1, "values": [0.01],
+                             "boundaries": []}}},
+        "dataloader_params": {
+            "tfrecords": {"train": pattern, "val": pattern},
+            "shuffle_buffer_size": 4},
+    })
+
+
+@pytest.fixture(scope="module")
+def synthetic_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tfrecords")
+    pattern = write_synthetic_tfrecords(
+        str(d), "train", num_shards=2, samples_per_shard=6, num_classes=6)
+    return pattern
+
+
+def test_train_pipeline_shapes(synthetic_data, tmp_path):
+    params = _params(tmp_path, synthetic_data)
+    pipe = InputPipeline("train", params, max_boxes=25)
+    it = iter(pipe)
+    batch = next(it)
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert batch["image"].dtype == np.float32
+    assert batch["boxes"].shape == (4, 25, 4)
+    assert batch["classes"].shape == (4, 25)
+    assert batch["valid"].shape == (4, 25)
+    # valid boxes are center-format within the frame
+    for i in range(4):
+        v = batch["valid"][i]
+        if v.any():
+            b = batch["boxes"][i][v]
+            assert (b[:, 2] > 0).all() and (b[:, 3] > 0).all()
+
+
+def test_val_pipeline_pads_final_batch(synthetic_data, tmp_path):
+    params = _params(tmp_path, synthetic_data, bs=5)
+    pipe = InputPipeline("val", params)
+    batches = list(pipe)
+    # 12 samples, bs 5 -> 3 batches, last padded
+    assert len(batches) == 3
+    ids = np.concatenate([b["image_id"] for b in batches])
+    assert (ids >= 0).sum() == 12
+    assert (ids < 0).sum() == 3
+    assert batches[0]["resize_scale"].shape == (5, 2)
+
+
+def test_multi_host_file_sharding(synthetic_data, tmp_path):
+    params = _params(tmp_path, synthetic_data)
+    p0 = InputPipeline("train", params, is_multi_host=True,
+                       process_index=0, process_count=2, batch_size=2)
+    p1 = InputPipeline("train", params, is_multi_host=True,
+                       process_index=1, process_count=2, batch_size=2)
+    assert set(p0.files).isdisjoint(p1.files)
+    assert len(p0.files) + len(p1.files) == 2
+
+
+def test_host_preprocessor_no_aug_resize_pad(tmp_path):
+    params = _params(tmp_path, "unused*")
+    del params.dataloader_params["tfrecords"]
+    pre = HostPreprocessor(params, max_boxes=10)
+    img = np.full((32, 16, 3), 200.0, np.float32)
+    out, scale = pre.resize_with_pad(img)
+    assert out.shape == (64, 64, 3)
+    # aspect preserved: 32x16 -> 64x32; right half is mean padding
+    np.testing.assert_allclose(out[:, :32], 200.0, atol=1.5)
+    np.testing.assert_allclose(out[:, 32:], 127.0)
+    np.testing.assert_allclose(scale, [2.0, 2.0])
+
+
+def test_host_preprocessor_train_boxes(tmp_path):
+    params = _params(tmp_path, "unused*")
+    del params.dataloader_params["tfrecords"]
+    params.dataloader_params.augmentations.use_augmentation = False
+    pre = HostPreprocessor(params, max_boxes=10)
+    img = np.zeros((128, 128, 3), np.float32)
+    boxes_norm = np.array([[0.25, 0.25, 0.75, 0.75]], np.float32)
+    out = pre(img, boxes_norm, np.array([2]), np.random.default_rng(0))
+    assert out["image"].shape == (64, 64, 3)
+    assert out["valid"][0] and not out["valid"][1:].any()
+    # 128->64 scale 0.5: box center (32,32) wh (32,32) in xywh
+    np.testing.assert_allclose(out["boxes"][0], [32, 32, 32, 32], atol=0.5)
+    assert out["classes"][0] == 2
