@@ -147,9 +147,11 @@ class COCOEval:
                     m = g
                 if m == -1:
                     continue
+                # store local index + 1 (0 means unmatched; raw annotation
+                # ids may legitimately be 0)
                 dt_ignore[t, d] = gt_ignore[m]
-                dtm[t, d] = gts[m]["id"]
-                gtm[t, m] = dts[d]["id"]
+                dtm[t, d] = m + 1
+                gtm[t, m] = d + 1
 
         # unmatched dts outside the area range are ignored
         a = np.array([d["area"] < area_rng[0] or d["area"] > area_rng[1]

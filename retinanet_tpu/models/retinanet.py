@@ -90,12 +90,14 @@ def build_backbone(params, bn, dtype) -> nn.Module:
                       **common)
     if kind.startswith("efficientnet"):
         return efficientnet_lib.EfficientNet.from_name(
-            params.backbone.model_name
-            if "model_name" in params.backbone else kind,
-            name="backbone", **common)
-    if kind == "mobiledet":
+            kind, name="backbone",
+            override_params=dict(params.backbone.get("override_params", {})),
+            **common)
+    if kind.startswith("mobiledet"):
         return mobiledet_lib.MobileDet(
-            variant=params.backbone.variant, name="backbone", **common)
+            variant=kind,
+            multiplier=float(params.backbone.get("multiplier", 1.0)),
+            name="backbone", **common)
     raise ValueError(f"Unsupported backbone type: {kind}")
 
 

@@ -235,6 +235,15 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
     min_level, max_level = int(ff.min_level), int(ff.max_level)
     num_classes = int(params.architecture.head.num_classes)
 
+    # NMS candidate cap: greedy NMS only ever selects boxes with score >
+    # score_threshold, and a box can only be suppressed by a higher-scoring
+    # one, so feeding the top `nms_top_k` candidates (instead of the
+    # reference's full pre_nms_top_k=5000) yields identical detections
+    # whenever fewer than nms_top_k candidates per class/image clear the
+    # threshold — which holds for any sane detector at threshold 0.05.
+    # Override with inference.nms_top_k for exact-parity runs.
+    nms_k = min(int(inf.get("nms_top_k", 1000)), int(inf.pre_nms_top_k))
+
     def infer(model_params, batch_stats, images):
         images = normalizer(images).astype(compute_dtype)
         preds = model.apply(
@@ -247,10 +256,10 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
             fused, anchors, params.input.input_shape,
             tuple(params.encoder_params.box_variance),
             bool(params.encoder_params.scale_box_targets))
-        filtered = filter_top_k(
-            decoded, int(inf.pre_nms_top_k), bool(inf.filter_per_class))
         if skip_nms:
-            return filtered
+            return filter_top_k(
+                decoded, int(inf.pre_nms_top_k), bool(inf.filter_per_class))
+        filtered = filter_top_k(decoded, nms_k, bool(inf.filter_per_class))
         return generate_detections(
             filtered, mode=inf.mode, num_classes=num_classes,
             max_detections=int(inf.max_detections),
