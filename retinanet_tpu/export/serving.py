@@ -1,0 +1,183 @@
+"""Model export + serving artifacts.
+
+Replaces the reference's SavedModel / ONNX / TensorRT export stack
+(reference retinanet/export.py:108-347, onnx_utils.py, tensorrt/*) with the
+TPU-native equivalents:
+
+  * artifact directory: config.json + params.msgpack (flax serialization of
+    {params, batch_stats}) + optional EMA weights — the analog of
+    `save_weights` + frozen SavedModel variables;
+  * AOT-serialized StableHLO of the full serving function via `jax.export`
+    (`serving_default.stablehlo`, fixed inference batch size — the analog
+    of the frozen `serving_default` signature, reference export.py:229-268);
+    the serialized artifact is portable across processes and survives
+    without Python model code;
+  * serving modes mirror ModelBuilder.prepare_model_for_export
+    (reference model/builder.py:121-151): 'tf'-equivalent full pipeline,
+    and the skip-decode / skip-NMS variants used for external-NMS
+    deployments;
+  * `load_artifact` reconstructs a jittable serving function either from
+    the StableHLO blob (exact frozen graph) or by rebuilding from config +
+    weights (flexible batch).
+
+Quantized (int8) serving is provided by export/quantize.py (PTQ, replacing
+the TensorRT INT8 calibrators).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from retinanet_tpu.core.config import ConfigDict, from_dict
+from retinanet_tpu.data import anchors as anchor_lib
+from retinanet_tpu.data.preprocessing import (HostPreprocessor,
+                                              make_device_normalizer)
+from retinanet_tpu.models.retinanet import build_model, _compute_dtype
+from retinanet_tpu.ops.postprocess import make_inference_fn
+
+EXPORT_MODES = ("tf", "tf_tensorrt", "onnx", "onnx_tensorrt")
+_WEIGHTS_FILE = "params.msgpack"
+_CONFIG_FILE = "config.json"
+_STABLEHLO_FILE = "serving_default.stablehlo"
+
+
+def _mode_flags(mode: str) -> Tuple[bool, bool]:
+    """(skip_decoding, skip_nms) per reference model/builder.py:121-151:
+    'tf' keeps everything; 'tf_tensorrt' skips NMS (TRT plugin did it);
+    'onnx'/'onnx_tensorrt' skip decode+topk+NMS (EfficientNMS_TRT did it).
+    """
+    if mode == "tf":
+        return False, False
+    if mode == "tf_tensorrt":
+        return False, True
+    if mode in ("onnx", "onnx_tensorrt"):
+        return True, True
+    raise ValueError(f"mode must be one of {EXPORT_MODES}")
+
+
+def build_serving_fn(params: ConfigDict,
+                     mode: str = "tf") -> Callable:
+    """Serving function (model_params, batch_stats, images) -> detections."""
+    skip_decoding, skip_nms = _mode_flags(mode)
+    model = build_model(params)
+    anchors = anchor_lib.from_params(params)
+    normalizer = make_device_normalizer(params)
+    return make_inference_fn(
+        model, params, anchors, normalizer,
+        compute_dtype=_compute_dtype(params.floatx.precision),
+        skip_decoding=skip_decoding, skip_nms=skip_nms)
+
+
+def export_artifact(params: ConfigDict,
+                    model_params,
+                    batch_stats,
+                    output_dir: str,
+                    mode: str = "tf",
+                    serialize_stablehlo: bool = True) -> Dict[str, str]:
+    """Write a serving artifact directory. Returns {artifact: path}."""
+    os.makedirs(output_dir, exist_ok=True)
+    written = {}
+
+    with open(os.path.join(output_dir, _CONFIG_FILE), "w") as f:
+        json.dump(params.to_dict(), f, indent=2)
+    written["config"] = os.path.join(output_dir, _CONFIG_FILE)
+
+    state = {
+        "params": jax.device_get(model_params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    weights_path = os.path.join(output_dir, _WEIGHTS_FILE)
+    with open(weights_path, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    written["weights"] = weights_path
+
+    if serialize_stablehlo:
+        from jax import export as jax_export
+        serving = build_serving_fn(params, mode)
+        batch = int(params.inference.batch_size)
+        h, w = params.input.input_shape
+        spec = jax.ShapeDtypeStruct(
+            (batch, int(h), int(w), int(params.input.channels)), jnp.float32)
+        closed = jax.jit(
+            lambda images: serving(state["params"], state["batch_stats"],
+                                   images))
+        exported = jax_export.export(closed)(spec)
+        blob = exported.serialize()
+        hlo_path = os.path.join(output_dir, _STABLEHLO_FILE)
+        with open(hlo_path, "wb") as f:
+            f.write(blob)
+        written["stablehlo"] = hlo_path
+    return written
+
+
+class ServingModule:
+    """Loaded serving artifact.
+
+    `run_inference(images)`: fixed-batch detection (serving_default analog).
+    `prepare_image(image)`: variable-size single image -> (input tensor,
+    resize_scale) — host-side resize-with-pad, the analog of the reference's
+    `prepare_image` signature (reference export.py:217-223).
+    """
+
+    def __init__(self, params: ConfigDict, serving_fn: Callable,
+                 state: Dict, exported=None):
+        self.params = params
+        self._fn = jax.jit(serving_fn)
+        self._state = state
+        self._exported = exported
+        self._host_pre = HostPreprocessor(params)
+        self._host_pre.use_augmentation = False
+        self._host_pre.horizontal_flip = False
+        self._host_pre.jitter = None
+
+    def run_inference(self, images) -> Dict[str, np.ndarray]:
+        det = self._fn(self._state["params"], self._state["batch_stats"],
+                       jnp.asarray(images, jnp.float32))
+        return jax.device_get(det)
+
+    def run_exported(self, images) -> Dict[str, np.ndarray]:
+        """Execute through the deserialized StableHLO artifact (frozen)."""
+        if self._exported is None:
+            raise ValueError("artifact was saved without StableHLO")
+        return jax.device_get(self._exported.call(
+            jnp.asarray(images, jnp.float32)))
+
+    def prepare_image(self, image: np.ndarray):
+        out, scale = self._host_pre.resize_with_pad(np.asarray(image))
+        return out[None], scale
+
+
+def load_artifact(artifact_dir: str, mode: str = "tf",
+                  use_stablehlo: bool = False) -> ServingModule:
+    with open(os.path.join(artifact_dir, _CONFIG_FILE)) as f:
+        params = from_dict(json.load(f))
+
+    model = build_model(params)
+    h, w = params.input.input_shape
+    dummy = jnp.zeros((1, int(h), int(w), int(params.input.channels)))
+    template = jax.eval_shape(
+        lambda k: model.init(k, dummy, train=False), jax.random.PRNGKey(0))
+    template = {"params": template["params"],
+                "batch_stats": template.get("batch_stats", {})}
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template)
+    with open(os.path.join(artifact_dir, _WEIGHTS_FILE), "rb") as f:
+        state = flax.serialization.from_bytes(template, f.read())
+
+    exported = None
+    hlo_path = os.path.join(artifact_dir, _STABLEHLO_FILE)
+    if use_stablehlo and os.path.exists(hlo_path):
+        from jax import export as jax_export
+        with open(hlo_path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+
+    return ServingModule(params, build_serving_fn(params, mode), state,
+                         exported)

@@ -1,0 +1,112 @@
+"""Export / serving artifact tests: roundtrip, StableHLO, modes, int8."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from retinanet_tpu.core import config as cfg
+from retinanet_tpu.export import serving as serving_lib
+from retinanet_tpu.export.quantize import (dequantize_params,
+                                           make_quantized_serving_fn,
+                                           quantize_params)
+from retinanet_tpu.models.retinanet import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    params = cfg.from_dict({
+        "experiment": {"name": "export_test"},
+        "input": {"input_shape": [64, 64], "channels": 3},
+        "floatx": {"precision": "float32"},
+        "architecture": {
+            "backbone": {"type": "resnet", "depth": 10},
+            "feature_fusion": {"type": "fpn", "filters": 16, "min_level": 3,
+                               "max_level": 5, "backbone_max_level": 5},
+            "head": {"num_convs": 1, "filters": 16, "num_classes": 5,
+                     "num_anchors": 9},
+        },
+        "anchor_params": {"areas": [1024.0, 4096.0, 16384.0],
+                          "aspect_ratios": [0.5, 1.0, 2.0],
+                          "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
+        "inference": {"batch_size": 2, "pre_nms_top_k": 200,
+                      "max_detections": 10},
+    })
+    model = build_model(params)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    return params, variables
+
+
+def test_artifact_roundtrip(tmp_path, tiny):
+    params, variables = tiny
+    out = serving_lib.export_artifact(
+        params, variables["params"], variables["batch_stats"],
+        str(tmp_path), serialize_stablehlo=True)
+    assert set(out) == {"config", "weights", "stablehlo"}
+
+    module = serving_lib.load_artifact(str(tmp_path), use_stablehlo=True)
+    images = np.random.default_rng(0).uniform(
+        0, 255, (2, 64, 64, 3)).astype(np.float32)
+    det = module.run_inference(images)
+    assert det["scores"].shape == (2, 10)
+    assert det["boxes"].shape == (2, 10, 4)
+
+    # frozen StableHLO path must agree with the rebuilt-from-weights path
+    det_hlo = module.run_exported(images)
+    np.testing.assert_allclose(det["scores"], det_hlo["scores"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(det["boxes"], det_hlo["boxes"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_prepare_image(tmp_path, tiny):
+    params, variables = tiny
+    serving_lib.export_artifact(
+        params, variables["params"], variables["batch_stats"],
+        str(tmp_path), serialize_stablehlo=False)
+    module = serving_lib.load_artifact(str(tmp_path))
+    image = np.random.default_rng(0).uniform(0, 255, (128, 96, 3))
+    batched, scale = module.prepare_image(image)
+    assert batched.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(scale, [0.5, 0.5])
+
+
+@pytest.mark.parametrize("mode,expected_keys", [
+    ("tf", {"scores", "boxes", "classes", "valid_detections"}),
+    ("tf_tensorrt", {"scores", "boxes"}),          # skip NMS
+    ("onnx", {"class_logits", "encoded_boxes"}),   # skip decode+NMS
+])
+def test_export_modes(tiny, mode, expected_keys):
+    params, variables = tiny
+    fn = serving_lib.build_serving_fn(params, mode)
+    out = fn(variables["params"], variables["batch_stats"],
+             jnp.zeros((2, 64, 64, 3)))
+    assert set(out) == expected_keys
+
+
+def test_int8_quantization_roundtrip(tiny):
+    params, variables = tiny
+    qparams, stats = quantize_params(jax.device_get(variables["params"]))
+    assert stats["quantized"] > 0
+    assert stats["bytes_q"] < 0.5 * stats["bytes_fp32"]
+    deq = dequantize_params(qparams)
+    # dequantized kernels close to original (int8 per-channel)
+    orig = variables["params"]["box_head"]["prediction"]["conv"]["kernel"]
+    rec = deq["box_head"]["prediction"]["conv"]["kernel"]
+    err = np.abs(np.asarray(orig) - np.asarray(rec)).max()
+    amax = np.abs(np.asarray(orig)).max()
+    assert err <= amax / 127.0 + 1e-6
+
+
+def test_int8_serving_close_to_fp(tiny):
+    params, variables = tiny
+    fn = serving_lib.build_serving_fn(params, "tf")
+    qparams, _ = quantize_params(jax.device_get(variables["params"]))
+    qfn = make_quantized_serving_fn(fn, qparams)
+    images = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 255, (2, 64, 64, 3)), jnp.float32)
+    f = fn(variables["params"], variables["batch_stats"], images)
+    q = qfn(variables["batch_stats"], images)
+    assert np.abs(np.asarray(f["scores"]) -
+                  np.asarray(q["scores"])).mean() < 0.05
