@@ -46,8 +46,8 @@ class TFrecordWriter:
         with tfrecord.RecordWriter(path) as writer:
             for image, boxes, classes, image_id in self._buffer:
                 writer.write(tfrecord.make_detection_example(
-                    image, np.asarray(boxes, np.float32),
-                    np.asarray(classes, np.int64), int(image_id)))
+                    image, int(image_id), np.asarray(boxes, np.float32),
+                    np.asarray(classes, np.int64)))
 
     def push(self, image: bytes, boxes, classes, image_id: int) -> None:
         self._buffer.append([image, boxes, classes, image_id])
