@@ -12,6 +12,8 @@ Extras report batched-inference FPS (decode+top-k+NMS included) vs the
 
 from __future__ import annotations
 
+import retinanet_tpu.core.cache  # noqa: F401,E402  persistent XLA cache
+
 import json
 import time
 

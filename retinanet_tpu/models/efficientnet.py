@@ -220,8 +220,13 @@ class MBConvBlock(nn.Module):
                                 param_dtype=jnp.float32,
                                 name="expand_conv")(x)
                     x = self.act(bn("bn0")(x, use_running_average=not train))
-                x = nn.Conv(filters, k, strides=s,
-                            feature_group_count=filters, use_bias=False,
+                # channel count from the actual input: with expand_ratio==1
+                # and fix_head_stem the stem width can differ from the
+                # stage's declared input_filters (TF's DepthwiseConv2D
+                # infers this too)
+                dw_ch = x.shape[-1]
+                x = nn.Conv(dw_ch, k, strides=s,
+                            feature_group_count=dw_ch, use_bias=False,
                             kernel_init=_dw_init, dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name="depthwise_conv")(x)
@@ -229,7 +234,7 @@ class MBConvBlock(nn.Module):
 
             if self.use_se and a.se_ratio and 0 < a.se_ratio <= 1:
                 se_filters = max(1, int(a.input_filters * a.se_ratio))
-                x = SqueezeExcite(se_filters, filters, self.act,
+                x = SqueezeExcite(se_filters, x.shape[-1], self.act,
                                   dtype=self.dtype, name="se")(x)
 
             x = nn.Conv(a.output_filters, (1, 1), use_bias=False,
