@@ -68,33 +68,26 @@ def main():
     batch = mesh_lib.shard_batch(
         synthetic_train_batch(train_bs, (640, 640), 100, 80, seed=0), mesh)
 
-    # warmup/compile
-    state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["total-loss"])
+    # Timing notes: block_until_ready is unreliable on the tunneled TPU
+    # runtime, so we chain N steps through the donated state and force
+    # completion with one scalar fetch (utils/benchmark.py).
+    from retinanet_tpu.utils.benchmark import chained_step_time, device_time
 
-    steps = 20
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["total-loss"])
-    dt = (time.perf_counter() - t0) / steps
+    state, metrics = train_step(state, batch)  # compile
+    float(metrics["total-loss"])
+    dt, state = chained_step_time(train_step, state, batch, iters=20)
     train_imgs_per_sec = train_bs / dt
     train_imgs_per_sec_per_chip = train_imgs_per_sec / n_chips
 
     # ---- batched inference (full serving path incl. NMS) -------------------
-    infer = jax.jit(make_inference_fn(
-        model, params, anchors, normalizer, compute_dtype=jnp.bfloat16))
+    infer = make_inference_fn(
+        model, params, anchors, normalizer, compute_dtype=jnp.bfloat16)
     images = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (infer_bs, 640, 640, 3)),
         jnp.float32)
-    det = infer(state.params, state.batch_stats, images)
-    jax.block_until_ready(det["scores"])
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        det = infer(state.params, state.batch_stats, images)
-    jax.block_until_ready(det["scores"])
-    infer_dt = (time.perf_counter() - t0) / reps
+    infer_dt = device_time(
+        lambda im: infer(state.params, state.batch_stats, im),
+        images, iters=20)
     infer_fps = infer_bs / infer_dt
 
     print(json.dumps({

@@ -14,6 +14,10 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable(path: str = None) -> None:
+    # CPU AOT blobs fail to reload across runs on this host (machine
+    # feature mismatch), so the cache is TPU-only.
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

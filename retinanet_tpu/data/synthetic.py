@@ -114,7 +114,7 @@ def write_synthetic_tfrecords(directory: str,
     pattern = os.path.join(directory, f"{prefix}-*")
     if not write_annotations:
         return pattern
-    ann_path = os.path.join(directory, f"{prefix}-annotations.json")
+    ann_path = os.path.join(directory, f"annotations_{prefix}.json")
     with open(ann_path, "w") as f:
         json.dump({
             "images": images,

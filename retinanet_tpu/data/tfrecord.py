@@ -276,6 +276,9 @@ class RecordWriter:
         self.close()
 
 
+_MAX_RECORD_BYTES = 1 << 31  # guards against reading non-tfrecord files
+
+
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
     """Stream raw records from one tfrecord file."""
     with open(path, "rb") as f:
@@ -284,6 +287,10 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
+            if length > _MAX_RECORD_BYTES:
+                raise IOError(
+                    f"{path}: implausible record length {length} — not a "
+                    "tfrecord file?")
             crc_h = f.read(4)
             data = f.read(length)
             crc_d = f.read(4)

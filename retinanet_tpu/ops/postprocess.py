@@ -22,7 +22,7 @@ valid_detections (B,) int32; empty slots are -1 (ref:316-379).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,24 +83,34 @@ def decode_detections(fused: Dict[str, jnp.ndarray],
 
 def filter_top_k(detections: Dict[str, jnp.ndarray],
                  top_k: int,
-                 filter_per_class: bool = True) -> Dict[str, jnp.ndarray]:
+                 filter_per_class: bool = True,
+                 approx: bool = False) -> Dict[str, jnp.ndarray]:
+    """Pre-NMS top-k. `approx=True` uses jax.lax.approx_max_k — the
+    TPU-optimized partial-sort (recall ~0.95 per bucket); the exact variant
+    matches the reference's tf.nn.top_k (ref:120-173)."""
     scores = detections["scores"]       # (B, A, C)
     boxes = detections["boxes"]         # (B, A, 4)
     b, num_anchors, num_classes = scores.shape
+    top_fn = jax.lax.approx_max_k if approx else jax.lax.top_k
 
     if filter_per_class:
         k = min(top_k, num_anchors)
         scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
-        top_scores, idx = jax.lax.top_k(scores_t, k)     # (B, C, k)
+        top_scores, idx = top_fn(scores_t, k)            # (B, C, k)
+        # gather through a flattened index so XLA never materializes the
+        # (B, C, A, 4) broadcast of the class-agnostic boxes (~0.8 GB at
+        # COCO scale)
+        flat_idx = idx.reshape(b, num_classes * k)
         top_boxes = jnp.take_along_axis(
-            boxes[:, None], idx[..., None], axis=2)      # (B, C, k, 4)
+            boxes, flat_idx[..., None], axis=1).reshape(
+                b, num_classes, k, 4)
         return {
             "scores": jnp.swapaxes(top_scores, 1, 2),    # (B, k, C)
             "boxes": jnp.swapaxes(top_boxes, 1, 2),      # (B, k, C, 4)
         }
     k = min(top_k, num_anchors * num_classes)
     flat = scores.reshape(b, num_anchors * num_classes)
-    _, idx = jax.lax.top_k(flat, k)
+    _, idx = top_fn(flat, k)
     anchor_idx = idx // num_classes                       # (B, k)
     return {
         "scores": jnp.take_along_axis(
@@ -126,10 +136,31 @@ def _finalize(boxes, scores, classes, valid, max_detections):
     }
 
 
+def _lane_nms(boxes_l, scores_l, *, max_detections, iou_threshold,
+              score_threshold, soft_nms_sigma, soft, use_pallas):
+    """NMS over (L, k, 4)/(L, k) lanes -> (idx, scores, valid)."""
+    if use_pallas:
+        from retinanet_tpu.ops.pallas.nms_kernel import pallas_nms
+        return pallas_nms(
+            boxes_l, scores_l, max_detections,
+            iou_threshold=iou_threshold, score_threshold=score_threshold,
+            soft_nms_sigma=soft_nms_sigma, soft=soft)
+
+    def one(bx, sc):
+        res = nms_lib.nms_select(
+            bx, sc, max_detections, iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+            soft_nms_sigma=soft_nms_sigma, soft=soft)
+        return res.indices, res.scores, res.valid
+
+    return jax.vmap(one)(boxes_l, scores_l)
+
+
 def _per_class_nms(scores, boxes, *, num_classes, max_detections,
-                   iou_threshold, score_threshold, soft_nms_sigma, soft):
+                   iou_threshold, score_threshold, soft_nms_sigma, soft,
+                   use_pallas=False):
     """scores (B, k, C); boxes (B, k, C, 4) or (B, k, 4) class-agnostic."""
-    b = scores.shape[0]
+    b, k = scores.shape[0], scores.shape[1]
     scores_c = jnp.swapaxes(scores, 1, 2)                 # (B, C, k)
     if boxes.ndim == 4:
         boxes_c = jnp.swapaxes(boxes, 1, 2)               # (B, C, k, 4)
@@ -137,19 +168,20 @@ def _per_class_nms(scores, boxes, *, num_classes, max_detections,
         boxes_c = jnp.broadcast_to(
             boxes[:, None], (b, num_classes) + boxes.shape[1:])
 
-    def one(bx, sc):
-        # NonMaxSuppressionV5 semantics: soft mode uses iou_threshold=1.0
-        res = nms_lib.nms_select(
-            bx, sc, max_detections,
-            iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
-            else iou_threshold,
-            score_threshold=score_threshold,
-            soft_nms_sigma=soft_nms_sigma, soft=soft)
-        sel_boxes = bx[res.indices]
-        sel_scores = jnp.where(res.scores > -0.5, res.scores, -1.0)
-        return sel_boxes, sel_scores
-
-    sel_boxes, sel_scores = jax.vmap(jax.vmap(one))(boxes_c, scores_c)
+    # NonMaxSuppressionV5 semantics: soft mode uses iou_threshold=1.0
+    idx, sel_scores, _ = _lane_nms(
+        boxes_c.reshape(b * num_classes, k, 4),
+        scores_c.reshape(b * num_classes, k),
+        max_detections=max_detections,
+        iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
+        else iou_threshold,
+        score_threshold=score_threshold,
+        soft_nms_sigma=soft_nms_sigma, soft=soft, use_pallas=use_pallas)
+    sel_boxes = jnp.take_along_axis(
+        boxes_c.reshape(b * num_classes, k, 4), idx[..., None], axis=1)
+    sel_boxes = sel_boxes.reshape(b, num_classes, max_detections, 4)
+    sel_scores = jnp.where(sel_scores > -0.5, sel_scores, -1.0)
+    sel_scores = sel_scores.reshape(b, num_classes, max_detections)
     # (B, C, max_det, 4) / (B, C, max_det)
     classes = jax.lax.broadcasted_iota(
         jnp.int32, sel_scores.shape, 1)
@@ -169,25 +201,28 @@ def _per_class_nms(scores, boxes, *, num_classes, max_detections,
 
 
 def _global_nms(scores, boxes, *, max_detections, iou_threshold,
-                score_threshold, soft_nms_sigma, soft):
+                score_threshold, soft_nms_sigma, soft, use_pallas=False):
     """scores (B, k, C); boxes (B, k, 4)."""
     max_scores = jnp.max(scores, axis=-1)
     classes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
-    def one(bx, sc):
-        res = nms_lib.nms_select(
-            bx, sc, max_detections,
-            iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
-            else iou_threshold,
-            score_threshold=score_threshold,
-            soft_nms_sigma=soft_nms_sigma, soft=soft)
-        return res.indices, res.scores, res.valid
-
-    idx, sel_scores, valid = jax.vmap(one)(boxes, max_scores)
+    idx, sel_scores, valid = _lane_nms(
+        boxes, max_scores, max_detections=max_detections,
+        iou_threshold=1.0 if (soft and soft_nms_sigma > 0.0)
+        else iou_threshold,
+        score_threshold=score_threshold,
+        soft_nms_sigma=soft_nms_sigma, soft=soft, use_pallas=use_pallas)
     sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     sel_classes = jnp.take_along_axis(classes, idx, axis=1)
     return _finalize(sel_boxes, sel_scores, sel_classes, valid,
                      max_detections)
+
+
+def _default_use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def generate_detections(detections: Dict[str, jnp.ndarray],
@@ -196,15 +231,20 @@ def generate_detections(detections: Dict[str, jnp.ndarray],
                         max_detections: int = 100,
                         iou_threshold: float = 0.5,
                         score_threshold: float = 0.05,
-                        soft_nms_sigma: float = 0.5) -> Dict[str, jnp.ndarray]:
+                        soft_nms_sigma: float = 0.5,
+                        use_pallas: Optional[bool] = None
+                        ) -> Dict[str, jnp.ndarray]:
     if mode not in NMS_MODES:
         raise ValueError(f"mode must be one of {NMS_MODES}, got {mode}")
+    if use_pallas is None:
+        use_pallas = _default_use_pallas()
     scores = detections["scores"].astype(jnp.float32)
     boxes = jnp.clip(detections["boxes"].astype(jnp.float32), 0.0, 1.0)
 
     common = dict(max_detections=max_detections,
                   iou_threshold=iou_threshold,
-                  score_threshold=score_threshold)
+                  score_threshold=score_threshold,
+                  use_pallas=use_pallas)
     if mode == "CombinedNMS":
         return _per_class_nms(scores, boxes, num_classes=num_classes,
                               soft_nms_sigma=0.0, soft=False, **common)
@@ -243,6 +283,12 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
     # threshold — which holds for any sane detector at threshold 0.05.
     # Override with inference.nms_top_k for exact-parity runs.
     nms_k = min(int(inf.get("nms_top_k", 1000)), int(inf.pre_nms_top_k))
+    # approx_max_k is the TPU-native partial top-k (bucketed partial
+    # reduction, Chern et al. 2022); candidate recall is >=0.95 of the
+    # exact set and every recalled candidate keeps its exact score, so
+    # detection differences are confined to far-below-threshold tails.
+    # Flip off for bitwise parity runs via inference.use_approx_top_k.
+    approx_topk = bool(inf.get("use_approx_top_k", True))
 
     def infer(model_params, batch_stats, images):
         images = normalizer(images).astype(compute_dtype)
@@ -259,7 +305,14 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
         if skip_nms:
             return filter_top_k(
                 decoded, int(inf.pre_nms_top_k), bool(inf.filter_per_class))
-        filtered = filter_top_k(decoded, nms_k, bool(inf.filter_per_class))
+        # top-k on LOGITS (sigmoid is monotonic -> identical selection),
+        # sigmoid applied only to the k survivors: avoids a transcendental
+        # over the full (B, ~77k, C) score tensor.
+        filtered = filter_top_k(
+            {"scores": fused["class_logits"].astype(jnp.float32),
+             "boxes": decoded["boxes"]},
+            nms_k, bool(inf.filter_per_class), approx=approx_topk)
+        filtered["scores"] = jax.nn.sigmoid(filtered["scores"])
         return generate_detections(
             filtered, mode=inf.mode, num_classes=num_classes,
             max_detections=int(inf.max_detections),

@@ -355,6 +355,38 @@ class Executor:
         logging.info("Evaluation at step %d: %s", step, scores)
         return scores
 
+    # -------------------------------------------------------- introspection
+
+    def get_flops(self, batch_size: int = 1) -> float:
+        """MACs/FLOPs of the batch-`batch_size` eval forward pass via XLA
+        cost analysis (reference executor.py:754-770 used the TF graph
+        profiler)."""
+        h, w = self.params.input.input_shape
+        images = jnp.zeros((batch_size, int(h), int(w),
+                            int(self.params.input.channels)), jnp.float32)
+        fwd = step_lib.make_eval_forward(self.model, self.compute_dtype)
+        compiled = jax.jit(fwd).lower(
+            self.state.params, self.state.batch_stats, images).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", -1.0))
+
+    def dump_forward_hlo(self, path: Optional[str] = None) -> str:
+        """Write the optimized forward-pass HLO next to checkpoints (the
+        analog of the reference's one-shot graph trace summary,
+        executor.py:736-752)."""
+        h, w = self.params.input.input_shape
+        images = jnp.zeros((1, int(h), int(w),
+                            int(self.params.input.channels)), jnp.float32)
+        fwd = step_lib.make_eval_forward(self.model, self.compute_dtype)
+        text = jax.jit(fwd).lower(
+            self.state.params, self.state.batch_stats, images).as_text()
+        path = path or os.path.join(self.model_dir, "forward.hlo.txt")
+        with open(path, "w") as f:
+            f.write(text)
+        return path
+
     def continuous_evaluate(self, sleep_time: int = 60,
                             max_iterations: Optional[int] = None):
         """Poll for new checkpoints and evaluate each

@@ -48,13 +48,17 @@ def device_time(fn: Callable, example_input, iters: int = 20,
 
 
 def chained_step_time(step_fn: Callable, state, batch, iters: int = 20,
-                      fetch=lambda m: m["total-loss"]) -> float:
+                      fetch=lambda m: m["total-loss"]):
     """Average seconds per train step: state donation already serializes
-    the chain; one scalar fetch at the end forces completion."""
+    the chain; one scalar fetch at the end forces completion.
+
+    Returns (seconds_per_step, final_state) — the input state's buffers
+    are DONATED by the first step, so callers must switch to the returned
+    state."""
     state, metrics = step_fn(state, batch)  # warm (assumed compiled)
     float(fetch(metrics))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step_fn(state, batch)
     float(fetch(metrics))
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, state

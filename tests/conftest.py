@@ -14,7 +14,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache (compiles through the axon tunnel are slow).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache (retinanet_tpu.core.cache) is NOT
+# enabled here — XLA:CPU AOT blobs fail to reload across runs on this host
+# (machine-feature mismatch -> MemoryError). The cache is for the slow
+# tunneled TPU compiles only.

@@ -113,10 +113,10 @@ def test_evaluator_accumulate_and_rescale(tmp_path):
         input_shape=[64, 64], annotation_file_path=str(ann_path),
         prediction_file_path=str(tmp_path / "pred.json"))
     # one detection: normalized corners in the 64x64 model frame, image
-    # resized by scale 0.1 -> original pixels = norm * 64 / 0.1
+    # resized by scale 0.5 -> original pixels = norm * 64 / 0.5
     results = {
         "image_id": np.array([0, -1]),  # second is a padded slot
-        "resize_scale": np.array([[0.1, 0.1], [1.0, 1.0]], np.float32),
+        "resize_scale": np.array([[0.5, 0.5], [1.0, 1.0]], np.float32),
         "detections": {
             "boxes": np.array([[[0.1, 0.2, 0.5, 0.6]],
                                [[0.0, 0.0, 0.1, 0.1]]], np.float32),
@@ -130,5 +130,5 @@ def test_evaluator_accumulate_and_rescale(tmp_path):
     det = ev.processed_detections[0]
     assert det["image_id"] == 0
     assert det["category_id"] == 1
-    np.testing.assert_array_equal(
-        det["bbox"], [64, 128, 256, 256])  # (0.1*64/0.1, 0.2*64/0.1, w, h)
+    # (0.1*128, 0.2*128, (0.5-0.1)*128, (0.6-0.2)*128) int-truncated
+    np.testing.assert_array_equal(det["bbox"], [12, 25, 52, 51])
