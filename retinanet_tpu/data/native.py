@@ -1,0 +1,122 @@
+"""ctypes bindings for the native TFRecord fast path (native/*.cpp).
+
+Compiles the shared library on first use (g++, ~2 s) and caches it next to
+the source; falls back to the pure-Python codec in data/tfrecord.py when a
+toolchain is unavailable. The Python implementation remains the behavioral
+spec — tests cross-check both.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "tfrecord_native.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libtfrecord_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if not os.path.exists(_SRC) or not _build():
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _load_failed = True
+        return None
+    lib.tfr_index.restype = ctypes.c_int64
+    lib.tfr_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_int]
+    lib.tfr_parse_detection.restype = ctypes.c_int
+    lib.tfr_parse_detection.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        np.ctypeslib.ndpointer(np.float32),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    lib.tfr_masked_crc32c.restype = ctypes.c_uint32
+    lib.tfr_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+    """Native-indexed record stream; drop-in for tfrecord.read_records."""
+    lib = get_lib()
+    if lib is None:
+        from retinanet_tpu.data import tfrecord
+        yield from tfrecord.read_records(path, verify_crc)
+        return
+    with open(path, "rb") as f:
+        data = f.read()
+    max_records = max(len(data) // 16, 1)
+    offsets = np.zeros(max_records, np.int64)
+    lengths = np.zeros(max_records, np.int64)
+    n = lib.tfr_index(data, len(data), offsets, lengths, max_records,
+                      1 if verify_crc else 0)
+    if n < 0:
+        raise IOError(f"corrupt crc in {path} (record {-n - 1})")
+    for i in range(n):
+        yield data[offsets[i]:offsets[i] + lengths[i]]
+
+
+def parse_detection_example(record: bytes,
+                            max_boxes: int = 512) -> Optional[Dict]:
+    """Native parse; drop-in for tfrecord.parse_detection_example.
+    Returns None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image_off = ctypes.c_int64()
+    image_len = ctypes.c_int64()
+    image_id = ctypes.c_int64()
+    nboxes = ctypes.c_int64()
+    boxes = np.zeros((max_boxes, 4), np.float32)
+    classes = np.zeros(max_boxes, np.int64)
+    rc = lib.tfr_parse_detection(
+        record, len(record), ctypes.byref(image_off),
+        ctypes.byref(image_len), ctypes.byref(image_id), boxes, classes,
+        max_boxes, ctypes.byref(nboxes))
+    if rc != 0:
+        raise ValueError("malformed detection example")
+    n = nboxes.value
+    return {
+        "image": record[image_off.value:image_off.value + image_len.value],
+        "image_id": int(image_id.value),
+        "boxes": boxes[:n].copy(),
+        "classes": classes[:n].copy(),
+    }

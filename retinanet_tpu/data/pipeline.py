@@ -34,8 +34,16 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+from retinanet_tpu.data import native as native_codec
 from retinanet_tpu.data import tfrecord
 from retinanet_tpu.data.preprocessing import HostPreprocessor
+
+
+def _parse_detection(record: bytes):
+    """Native C++ example parse when available, Python codec otherwise."""
+    parsed = native_codec.parse_detection_example(record)
+    return parsed if parsed is not None \
+        else tfrecord.parse_detection_example(record)
 
 _RUN_MODES = ("train", "val")
 _FILE_SHUFFLE_SEED = 1337  # reference input_pipeline.py:10
@@ -121,7 +129,7 @@ class InputPipeline:
             if self.run_mode == "train":
                 files = list(np.array(files)[rng.permutation(len(files))])
             for path in files:
-                yield from tfrecord.read_records(path)
+                yield from native_codec.read_records(path)
             epoch += 1
 
     def _shuffled(self, stream: Iterator[bytes]) -> Iterator[bytes]:
@@ -142,14 +150,14 @@ class InputPipeline:
     # -- per-sample work (runs in worker threads) ----------------------------
 
     def _process_train(self, record: bytes, sample_seed: int) -> Dict:
-        sample = tfrecord.parse_detection_example(record)
+        sample = _parse_detection(record)
         image = decode_jpeg(sample["image"])
         rng = np.random.default_rng(sample_seed)
         return self.preprocessor(
             image, sample["boxes"], sample["classes"], rng)
 
     def _process_val(self, record: bytes) -> Dict:
-        sample = tfrecord.parse_detection_example(record)
+        sample = _parse_detection(record)
         image = decode_jpeg(sample["image"])
         out, resize_scale = self.preprocessor.resize_with_pad(image)
         return {"image": out, "image_id": np.int64(sample["image_id"]),

@@ -164,11 +164,76 @@ class Executor:
 
     def _setup_state(self) -> None:
         self.state = self._init_state()
+        restored = False
         if self.resume_from is not None:
             self._restore_checkpoint(step=int(self.resume_from))
+            restored = True
         elif (self.params.training.restore_checkpoint
                 and self.latest_checkpoint_step() is not None):
             self._restore_checkpoint(step=self.latest_checkpoint_step())
+            restored = True
+        if not restored:
+            self._maybe_load_pretrained()
+
+    def _maybe_load_pretrained(self) -> None:
+        """Backbone-checkpoint init (reference resnet.py:403-409) and
+        fine-tuning from a full pretrained artifact with skip-mismatch
+        semantics (reference executor.py:115-121)."""
+        import flax.serialization
+
+        bb_ckpt = self.params.architecture.backbone.get("checkpoint", "")
+        ft = self.params.fine_tuning
+        src = None
+        if ft.get("fine_tune", False) and ft.get("pretrained_checkpoint"):
+            src, scope = ft.pretrained_checkpoint, None
+        elif bb_ckpt:
+            src, scope = bb_ckpt, "backbone"
+        if not src:
+            return
+        path = src if src.endswith(".msgpack") else os.path.join(
+            src, "params.msgpack")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"pretrained weights not found: {path}")
+        with open(path, "rb") as f:
+            loaded = flax.serialization.msgpack_restore(f.read())
+
+        def _merge(dst, srct, prefix=""):
+            merged = dict(dst)
+            matched, skipped = 0, 0
+            for key, value in srct.items():
+                if key not in dst:
+                    skipped += 1
+                    continue
+                if isinstance(value, dict) and isinstance(dst[key], dict):
+                    merged[key], m, s = _merge(dst[key], value,
+                                               f"{prefix}{key}/")
+                    matched += m
+                    skipped += s
+                elif (hasattr(value, "shape")
+                        and getattr(dst[key], "shape", None) == value.shape):
+                    merged[key] = value.astype(dst[key].dtype)
+                    matched += 1
+                else:
+                    skipped += 1  # shape mismatch: skip (load by-name)
+            return merged, matched, skipped
+
+        params = jax.device_get(self.state.params)
+        stats = jax.device_get(self.state.batch_stats)
+        src_params = loaded.get("params", loaded)
+        src_stats = loaded.get("batch_stats", {})
+        if scope == "backbone":
+            src_params = {"backbone": src_params.get("backbone", src_params)}
+            src_stats = {"backbone": src_stats.get("backbone", src_stats)}
+        params, m1, s1 = _merge(params, src_params)
+        stats, m2, s2 = _merge(stats, src_stats)
+        logging.info(
+            "Loaded pretrained weights from %s: %d tensors matched, "
+            "%d skipped", path, m1 + m2, s1 + s2)
+        self.state = self.state.replace(
+            params=jax.device_put(
+                params, mesh_lib.replicated(self.mesh)),
+            batch_stats=jax.device_put(
+                stats, mesh_lib.replicated(self.mesh)))
 
     def latest_checkpoint_step(self) -> Optional[int]:
         return self.ckpt_manager.latest_step()
