@@ -65,9 +65,16 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     Under multi-host, each process passes its local shard and we assemble
     the global array from per-host shards.
     """
+    n_dev = mesh.shape[axis_name]
+
     def _put(x):
         x = np.asarray(x)
-        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        # batches indivisible by the mesh (e.g. a small eval batch) fall
+        # back to replication rather than failing the sharding constraint
+        if x.ndim == 0 or x.shape[0] % n_dev != 0:
+            spec = P()
+        else:
+            spec = P(axis_name, *([None] * (x.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)

@@ -62,7 +62,8 @@ class Executor:
                  train_input_fn: Optional[Callable[[], Iterator]] = None,
                  val_input_fn: Optional[Callable[[], Iterator]] = None,
                  max_boxes: int = 100,
-                 enable_tensorboard: bool = True):
+                 enable_tensorboard: bool = True,
+                 enable_weights_info: bool = False):
         if run_mode not in _RUN_MODES:
             raise ValueError(f"run_mode must be one of {_RUN_MODES}")
         self.params = params
@@ -143,6 +144,7 @@ class Executor:
             os.environ.get("PROFILE_START_STEP", 10))
         self._profile_end_step = int(os.environ.get("PROFILE_END_STEP", 12))
         self._profiling = False
+        self.enable_weights_info = enable_weights_info
 
         self.state: Optional[TrainState] = None
         self._setup_state()
@@ -323,6 +325,11 @@ class Executor:
             if self.save_every and current % self.save_every == 0:
                 self._save_checkpoint(current)
 
+            if (self.enable_weights_info
+                    and current % (50 * max(self.steps_per_execution, 1))
+                    == 0):
+                self._write_weights_info(current)
+
             if self._use_inflection:
                 value = float(metrics.get(self._inflection.name, 0.0))
                 if self._inflection.is_value_anomalous(value):
@@ -419,6 +426,23 @@ class Executor:
             self.discord.log(f"[step {step}] eval: {scores}")
         logging.info("Evaluation at step %d: %s", step, scores)
         return scores
+
+    def _write_weights_info(self, step: int) -> None:
+        """Per-weight L2 norms (reference _write_weights_info,
+        executor.py:329-344) computed in one jitted reduction."""
+        norms = jax.jit(
+            lambda p: jax.tree_util.tree_map(
+                lambda x: jnp.sqrt(jnp.sum(jnp.square(
+                    x.astype(jnp.float32)))), p))(self.state.params)
+        flat, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(norms))
+        scalars = {}
+        for key_path, value in flat:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in key_path)
+            scalars[f"weights/{name}"] = float(value)
+        self.metrics.log(step, scalars)
 
     # -------------------------------------------------------- introspection
 
