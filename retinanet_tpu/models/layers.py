@@ -43,10 +43,19 @@ def get_activation(activation_type: str) -> Callable[[jnp.ndarray], jnp.ndarray]
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm that always normalizes in fp32, then casts to `dtype`.
+    """BatchNorm: fp32 params/statistics, output cast to `dtype`.
 
     Under GSPMD data parallelism the batch-axis mean/var reductions are
-    global, i.e. this is sync-BN whenever the batch is sharded.
+    global, i.e. this is sync-BN whenever the batch is sharded (the
+    reference's SyncBatchNormalization, model/utils.py:7-22).
+
+    PERF NOTE (measured on v5e, 640x640 ResNet50 train step): BN statistic
+    reductions dominate the step (~66 ms vs <1 ms of convolutions), but a
+    hand-fused one-pass moments kernel with custom VJP (ops/fused_bn.py)
+    made the step 6% SLOWER — XLA:TPU already fuses the backward BN
+    reductions into adjacent kernels, and the custom_vjp boundary breaks
+    those fusions. Keeping the stock flax path; fused_bn stays as a
+    documented experiment.
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
