@@ -201,10 +201,14 @@ class Config:
     """
 
     def __init__(self, path: str):
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"Config file not found: {path}")
-        with open(path) as f:
-            user = json.load(f)
+        if "://" in path:  # gs:// etc (reference used tf.io.gfile)
+            from etils import epath
+            user = json.loads(epath.Path(path).read_text())
+        else:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"Config file not found: {path}")
+            with open(path) as f:
+                user = json.load(f)
         merged = deep_merge(copy.deepcopy(_DEFAULTS), user)
         self.params = validate(_wrap(merged))
 

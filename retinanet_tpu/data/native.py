@@ -77,7 +77,7 @@ def available() -> bool:
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
     """Native-indexed record stream; drop-in for tfrecord.read_records."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or "://" in path:
         from retinanet_tpu.data import tfrecord
         yield from tfrecord.read_records(path, verify_crc)
         return

@@ -280,8 +280,8 @@ _MAX_RECORD_BYTES = 1 << 31  # guards against reading non-tfrecord files
 
 
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Stream raw records from one tfrecord file."""
-    with open(path, "rb") as f:
+    """Stream raw records from one tfrecord file (local or remote)."""
+    with open_file(path, "rb") as f:
         while True:
             header = f.read(8)
             if len(header) < 8:
@@ -305,10 +305,24 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
 
 
 def list_files(pattern: str) -> List[str]:
-    files = sorted(globlib.glob(pattern))
+    """Glob local paths; gs://-style remote patterns go through
+    etils.epath (the reference used tf.io.gfile — input_pipeline.py:30)."""
+    if "://" in pattern:
+        from etils import epath
+        base, _, tail = pattern.rpartition("/")
+        files = sorted(str(p) for p in epath.Path(base).glob(tail))
+    else:
+        files = sorted(globlib.glob(pattern))
     if not files:
         raise FileNotFoundError(f"No tfrecords match pattern: {pattern}")
     return files
+
+
+def open_file(path: str, mode: str = "rb"):
+    if "://" in path:
+        from etils import epath
+        return epath.Path(path).open(mode)
+    return open(path, mode)
 
 
 # ---------------------------------------------------------------------------

@@ -409,8 +409,14 @@ class Executor:
         for batch in self.val_input_fn():
             images = mesh_lib.shard_batch(
                 {"image": batch["image"]}, self.mesh)["image"]
-            detections = jax.device_get(
-                infer(params, self.state.batch_stats, images))
+            detections = infer(params, self.state.batch_stats, images)
+            if jax.process_count() > 1:
+                # cross-host gather (reference strategy.gather,
+                # executor.py:393-399)
+                from jax.experimental import multihost_utils
+                detections = multihost_utils.process_allgather(detections)
+            else:
+                detections = jax.device_get(detections)
             evaluator.accumulate_results({
                 "image_id": batch["image_id"],
                 "detections": detections,
