@@ -31,8 +31,13 @@ class COCOIndex:
 
     def __init__(self, annotation_path_or_dict):
         if isinstance(annotation_path_or_dict, (str,)):
-            with open(annotation_path_or_dict) as f:
-                data = json.load(f)
+            path = annotation_path_or_dict
+            if "://" in path:  # gs:// etc — reference downloaded via gfile
+                from etils import epath
+                data = json.loads(epath.Path(path).read_text())
+            else:
+                with open(path) as f:
+                    data = json.load(f)
         else:
             data = annotation_path_or_dict
         self.dataset = data

@@ -295,26 +295,34 @@ class Executor:
             "Starting training from step %d for %d steps (trial %d/%d)",
             current, self.train_steps, self._current_trial, self._max_trials)
 
+        spe = max(self.steps_per_execution, 1)
         while current < self.train_steps:
             t0 = time.time()
             batch = next(train_iter)
             sharded = mesh_lib.shard_batch(batch, self.mesh)
             state, metrics = self._train_step(state, sharded)
             self._maybe_profile(current)
-            metrics = jax.device_get(metrics)
-            dt = time.time() - t0
-            current = int(state.step)
+            current += 1
             self.state = state
 
+            # Fetch metrics to host only at logging cadence — each fetch is
+            # a device round trip and would otherwise serialize the async
+            # dispatch pipeline (the reference's steps_per_execution solved
+            # the same problem on the TF side, executor.py:605-621).
+            should_log = (current % spe == 0
+                          or current >= self.train_steps)
+            if should_log:
+                metrics = jax.device_get(metrics)
+                current = int(state.step)
+            dt = time.time() - t0
             meter.accumulate(1.0 / dt)
             imgs_per_sec = meter.averaged_value * global_bs
             eta = format_eta(
                 (self.train_steps - current)
                 / max(meter.averaged_value, 1e-6))
 
-            metrics["execution-time"] = round(dt, 4)
-            if current % max(self.steps_per_execution, 1) == 0 \
-                    or current == self.train_steps:
+            if should_log:
+                metrics["execution-time"] = round(dt, 4)
                 self.metrics.log(current, metrics)
                 logging.info(
                     "[trial %d/%d][step %d/%d][ETA %s][%.1f imgs/s] %s",
@@ -330,7 +338,8 @@ class Executor:
                     == 0):
                 self._write_weights_info(current)
 
-            if self._use_inflection:
+            if self._use_inflection and should_log:
+                # checked at the same cadence as the reference's outer step
                 value = float(metrics.get(self._inflection.name, 0.0))
                 if self._inflection.is_value_anomalous(value):
                     logging.warning(
