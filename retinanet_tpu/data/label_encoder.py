@@ -20,7 +20,7 @@ Box target (reference label_encoder.py:57-76):
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Sequence, Tuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,22 +37,16 @@ class EncodedLabels(NamedTuple):
     num_positives: jnp.ndarray  # () float32
 
 
-def match_anchors(anchor_boxes: jnp.ndarray,
-                  gt_boxes: jnp.ndarray,
-                  gt_valid: jnp.ndarray,
-                  match_iou: float,
-                  ignore_iou: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (matches int32 (A,), max_ious float32 (A,)).
+def _use_pallas_matcher() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
-    gt_boxes: (G, 4) center-format, padded; gt_valid: (G,) bool.
-    """
-    iou = box_utils.compute_iou(gt_boxes, anchor_boxes, pairwise=True)
-    # Invalid (padded) GT rows must never match nor force-match.
-    iou = jnp.where(gt_valid[:, None], iou, -1.0)
 
-    max_ious = jnp.max(iou, axis=0)
-    matched_gt_idx = jnp.argmax(iou, axis=0).astype(jnp.int32)
-
+def _finish_matches(max_ious, matched_gt_idx, best_anchor_per_gt,
+                    gt_valid, num_anchors, num_gt,
+                    match_iou, ignore_iou):
     matches = jnp.where(max_ious > match_iou, matched_gt_idx, -1)
     matches = jnp.where(
         (max_ious >= ignore_iou) & (match_iou > max_ious), -2, matches)
@@ -64,9 +58,6 @@ def match_anchors(anchor_boxes: jnp.ndarray,
     # scatter-min instead of materializing the O(G*A) one-hot, which at
     # COCO scale (100 x 76,725 x batch) would cost ~0.5 GB of HBM traffic
     # per step.
-    num_anchors = iou.shape[1]
-    num_gt = gt_boxes.shape[0]
-    best_anchor_per_gt = jnp.argmax(iou, axis=1)              # (G,)
     gt_ids = jnp.arange(num_gt, dtype=jnp.int32)
     scatter_ids = jnp.where(gt_valid, gt_ids, num_gt)         # invalid -> big
     forced = jnp.full((num_anchors,), num_gt, dtype=jnp.int32)
@@ -76,6 +67,43 @@ def match_anchors(anchor_boxes: jnp.ndarray,
 
     any_valid = jnp.any(gt_valid)
     matches = jnp.where(any_valid, matches, -1)
+    return matches
+
+
+def match_anchors(anchor_boxes: jnp.ndarray,
+                  gt_boxes: jnp.ndarray,
+                  gt_valid: jnp.ndarray,
+                  match_iou: float,
+                  ignore_iou: float,
+                  use_pallas: Optional[bool] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (matches int32 (A,), max_ious float32 (A,)).
+
+    gt_boxes: (G, 4) center-format, padded; gt_valid: (G,) bool.
+    On TPU the IoU matrix + its three reductions run in a single-pass
+    Pallas kernel (ops/pallas/matching_kernel.py); the XLA path is the
+    portable reference.
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas_matcher()
+    num_anchors = anchor_boxes.shape[0]
+    num_gt = gt_boxes.shape[0]
+
+    if use_pallas:
+        from retinanet_tpu.ops.pallas.matching_kernel import pallas_match
+        max_ious, matched_gt_idx, _, best_anchor_per_gt = pallas_match(
+            anchor_boxes, gt_boxes, gt_valid)
+    else:
+        iou = box_utils.compute_iou(gt_boxes, anchor_boxes, pairwise=True)
+        # Invalid (padded) GT rows must never match nor force-match.
+        iou = jnp.where(gt_valid[:, None], iou, -1.0)
+        max_ious = jnp.max(iou, axis=0)
+        matched_gt_idx = jnp.argmax(iou, axis=0).astype(jnp.int32)
+        best_anchor_per_gt = jnp.argmax(iou, axis=1)          # (G,)
+
+    matches = _finish_matches(
+        max_ious, matched_gt_idx, best_anchor_per_gt, gt_valid,
+        num_anchors, num_gt, match_iou, ignore_iou)
     return matches, max_ious
 
 
