@@ -31,6 +31,9 @@ import numpy as np
 
 try:
     import cv2
+    # one resize per worker thread: cv2's internal parallel_for would
+    # oversubscribe cores and serialize the pool
+    cv2.setNumThreads(0)
 except Exception:  # pragma: no cover
     cv2 = None
 
@@ -184,26 +187,39 @@ class InputPipeline:
         stop = threading.Event()
 
         def producer():
+            # sliding submission window: keep ~2x workers of samples in
+            # flight so the pool never drains while a batch is collected
+            # (batch-synchronous submit/collect loses ~3x throughput)
+            from collections import deque
+            depth = max(self.num_workers * 2, self.batch_size + 1)
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    pending: List = []
+                    window: deque = deque()
+                    batch: List = []
                     counter = self.seed * 1_000_003
+
+                    def drain_one():
+                        nonlocal batch
+                        batch.append(window.popleft().result())
+                        if len(batch) == self.batch_size:
+                            out_q.put(self._collate(batch))
+                            batch = []
+
                     for record in stream:
                         if stop.is_set():
                             return
                         counter += 1
                         if is_train:
-                            pending.append(pool.submit(
+                            window.append(pool.submit(
                                 self._process_train, record, counter))
                         else:
-                            pending.append(pool.submit(
+                            window.append(pool.submit(
                                 self._process_val, record))
-                        if len(pending) >= self.batch_size:
-                            batch = [f.result() for f in pending]
-                            pending = []
-                            out_q.put(self._collate(batch))
-                    if pending and not is_train:
-                        batch = [f.result() for f in pending]
+                        while len(window) >= depth:
+                            drain_one()
+                    while window:
+                        drain_one()
+                    if batch and not is_train:
                         batch = self._pad_final_val_batch(batch)
                         out_q.put(self._collate(batch))
             except Exception as e:  # propagate to consumer

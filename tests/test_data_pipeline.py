@@ -84,7 +84,8 @@ def test_train_pipeline_shapes(synthetic_data, tmp_path):
     it = iter(pipe)
     batch = next(it)
     assert batch["image"].shape == (4, 64, 64, 3)
-    assert batch["image"].dtype == np.float32
+    # train path transfers uint8 (4x cheaper host->device; <=1 LSB error)
+    assert batch["image"].dtype == np.uint8
     assert batch["boxes"].shape == (4, 25, 4)
     assert batch["classes"].shape == (4, 25)
     assert batch["valid"].shape == (4, 25)
