@@ -22,7 +22,7 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("config_path", None, "Path to the experiment config")
 flags.DEFINE_string("model_dir", None,
                     "Override experiment.model_dir from the config")
-flags.DEFINE_string("log_dir", None, "Directory for absl log files")
+# --log_dir comes from absl.logging's built-in flag
 flags.DEFINE_string("resume_from", None,
                     "Checkpoint step to resume from (default: latest)")
 flags.DEFINE_boolean("run_evaluation", False,

@@ -144,11 +144,24 @@ class ServingModule:
         return jax.device_get(det)
 
     def run_exported(self, images) -> Dict[str, np.ndarray]:
-        """Execute through the deserialized StableHLO artifact (frozen)."""
+        """Execute through the deserialized StableHLO artifact.
+
+        The graph is frozen at inference.batch_size (like the reference's
+        serving_default signature); smaller batches are padded and results
+        sliced back."""
         if self._exported is None:
             raise ValueError("artifact was saved without StableHLO")
-        return jax.device_get(self._exported.call(
-            jnp.asarray(images, jnp.float32)))
+        images = np.asarray(images, np.float32)
+        frozen_bs = int(self.params.inference.batch_size)
+        n = images.shape[0]
+        if n > frozen_bs:
+            raise ValueError(
+                f"batch {n} exceeds the frozen serving batch {frozen_bs}")
+        if n < frozen_bs:
+            pad = np.zeros((frozen_bs - n,) + images.shape[1:], np.float32)
+            images = np.concatenate([images, pad])
+        out = jax.device_get(self._exported.call(jnp.asarray(images)))
+        return {k: v[:n] for k, v in out.items()}
 
     def prepare_image(self, image: np.ndarray):
         out, scale = self._host_pre.resize_with_pad(np.asarray(image))
