@@ -95,6 +95,11 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
 
     if filter_per_class:
         k = min(top_k, num_anchors)
+        # Measured variants at 640x640/bs8 (full pipeline): this layout with
+        # f32 approx_max_k = 51 ms; reduction_dimension=1 (no transpose) =
+        # 68 ms (XLA transposes internally anyway); bf16 selection + exact
+        # re-gather = 65 ms (cast+gather cost more than the bandwidth
+        # saved). Keeping the simple form.
         scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
         top_scores, idx = top_fn(scores_t, k)            # (B, C, k)
         # gather through a flattened index so XLA never materializes the
