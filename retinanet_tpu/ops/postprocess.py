@@ -84,14 +84,19 @@ def decode_detections(fused: Dict[str, jnp.ndarray],
 def filter_top_k(detections: Dict[str, jnp.ndarray],
                  top_k: int,
                  filter_per_class: bool = True,
-                 approx: bool = False) -> Dict[str, jnp.ndarray]:
+                 approx: bool = False,
+                 recall_target: float = 0.95) -> Dict[str, jnp.ndarray]:
     """Pre-NMS top-k. `approx=True` uses jax.lax.approx_max_k — the
-    TPU-optimized partial-sort (recall ~0.95 per bucket); the exact variant
-    matches the reference's tf.nn.top_k (ref:120-173)."""
+    TPU-optimized partial selection (expected top-k recall >=
+    `recall_target`); the exact variant matches the reference's tf.nn.top_k
+    (ref:120-173)."""
+    import functools
     scores = detections["scores"]       # (B, A, C)
     boxes = detections["boxes"]         # (B, A, 4)
     b, num_anchors, num_classes = scores.shape
-    top_fn = jax.lax.approx_max_k if approx else jax.lax.top_k
+    top_fn = (functools.partial(jax.lax.approx_max_k,
+                                recall_target=recall_target)
+              if approx else jax.lax.top_k)
 
     if filter_per_class:
         k = min(top_k, num_anchors)
@@ -287,7 +292,12 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
     # whenever fewer than nms_top_k candidates per class/image clear the
     # threshold — which holds for any sane detector at threshold 0.05.
     # Override with inference.nms_top_k for exact-parity runs.
-    nms_k = min(int(inf.get("nms_top_k", 1000)), int(inf.pre_nms_top_k))
+    # k=256/class: identical detections whenever <256 candidates per
+    # class/image clear score_threshold (greedy NMS can only select
+    # above-threshold boxes, suppression only flows downward in score);
+    # measured 291 FPS vs 158 at k=1000 on bs=8.
+    nms_k = min(int(inf.get("nms_top_k", 256)), int(inf.pre_nms_top_k))
+    recall_target = float(inf.get("approx_recall_target", 0.95))
     # approx_max_k is the TPU-native partial top-k (bucketed partial
     # reduction, Chern et al. 2022); candidate recall is >=0.95 of the
     # exact set and every recalled candidate keeps its exact score, so
