@@ -34,6 +34,8 @@ flags.DEFINE_boolean("is_multi_host", False,
                      "Shard input files across hosts (TPU pods)")
 flags.DEFINE_boolean("debug", False, "Verbose logging")
 flags.DEFINE_integer("global_seed", 1337, "Global RNG seed")
+flags.DEFINE_boolean("enable_weights_info", False,
+                     "Log per-weight norms every 50 outer steps")
 
 flags.mark_flag_as_required("config_path")
 
@@ -89,6 +91,7 @@ def main(argv):
         is_multi_host=FLAGS.is_multi_host,
         train_input_fn=train_input_fn if "train" in run_mode else None,
         val_input_fn=val_input_fn if run_mode != "train" else None,
+        enable_weights_info=FLAGS.enable_weights_info,
     )
     executor.run()
 
