@@ -196,14 +196,18 @@ class HostPreprocessor:
     def resize_with_pad(self, image: np.ndarray):
         """Aspect-preserving resize + top-left pad. Returns (image,
         resize_scale (sy, sx)) — reference preprocessing_pipeline.py:96-110."""
-        image = np.asarray(image, dtype=np.float32)
+        work_dtype = self.image_dtype
+        image = np.asarray(image)
+        if image.dtype != work_dtype:
+            image = image.astype(work_dtype)
         h, w = float(image.shape[0]), float(image.shape[1])
         th, tw = self.target_h, self.target_w
         scaled = np.round(np.array([h, w]) * min(th / h, tw / w))
         resize_scale = scaled / np.array([h, w])
-        resized = _resize(image, (int(scaled[0]), int(scaled[1])))
-        out = np.empty((th, tw, 3), dtype=np.float32)
-        out[:] = self.mean
+        resized = _resize(image, (int(scaled[0]), int(scaled[1])),
+                          dtype=work_dtype)
+        out = np.empty((th, tw, 3), dtype=work_dtype)
+        out[:] = self.mean.astype(work_dtype)
         out[:resized.shape[0], :resized.shape[1]] = resized
         return out, resize_scale.astype(np.float32)
 

@@ -57,9 +57,25 @@ def synthetic_train_iterator(batch_size: int,
         i += 1
 
 
-def _random_jpeg(rng, h: int, w: int) -> bytes:
+def _class_color(class_id: int) -> np.ndarray:
+    rng = np.random.default_rng(1000 + class_id)
+    return rng.integers(40, 255, 3).astype(np.uint8)
+
+
+def _scene_jpeg(rng, h: int, w: int, boxes_norm: np.ndarray,
+                classes: np.ndarray) -> bytes:
+    """A LEARNABLE scene: flat background + class-colored filled rectangles
+    at the box locations. Pure-noise images make overfit checks chaotic
+    (the model can only memorize pixels, so <1-LSB input perturbations act
+    like seed changes); colored shapes give a real signal."""
     import cv2
-    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    img = np.full((h, w, 3), 30, dtype=np.uint8)
+    noise = rng.integers(0, 20, (h, w, 3), dtype=np.uint8)
+    img = img + noise
+    for b, c in zip(boxes_norm, classes):
+        x1, y1 = int(b[0] * w), int(b[1] * h)
+        x2, y2 = int(b[2] * w), int(b[3] * h)
+        img[y1:y2, x1:x2] = _class_color(int(c))
     ok, enc = cv2.imencode(".jpg", img)
     assert ok
     return enc.tobytes()
@@ -97,7 +113,8 @@ def write_synthetic_tfrecords(directory: str,
                     y1 + rng.uniform(0.05, 0.3, n)], -1).clip(0, 1)
                 classes = rng.integers(0, num_classes, n)
                 w.write(tfrecord.make_detection_example(
-                    _random_jpeg(rng, h, wdt), image_id, boxes, classes))
+                    _scene_jpeg(rng, h, wdt, boxes, classes),
+                    image_id, boxes, classes))
                 images.append({"id": image_id, "height": h, "width": wdt,
                                "file_name": f"{image_id}.jpg"})
                 for b, c in zip(boxes, classes):
