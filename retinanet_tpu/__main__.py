@@ -79,6 +79,11 @@ def main(argv):
             seed=FLAGS.global_seed)
 
     def val_input_fn():
+        # every host deliberately reads the FULL val set in the same
+        # deterministic order; Executor.evaluate() then feeds each host's
+        # contiguous 1/P slice of every batch (shard_global_batch), so each
+        # image enters the global batch exactly once and only process 0
+        # accumulates results
         return InputPipeline(
             "val", params, is_multi_host=False,
             seed=FLAGS.global_seed)

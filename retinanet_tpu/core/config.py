@@ -98,6 +98,7 @@ _DEFAULTS: dict = {
         "restore_checkpoint": True,
         "freeze_variables": [],
         "validation_freq": -1,
+        "validation_samples": -1,
         "remap_class_ids": True,
         "steps_per_execution": 1,
         "save_every": 1000,

@@ -59,28 +59,88 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
+                leading_dims: int = 0):
     """Device-put a host batch (numpy tree) with batch-dim sharding.
 
-    Under multi-host, each process passes its local shard and we assemble
-    the global array from per-host shards.
+    Under multi-host, each process passes its DISTINCT local shard (the
+    train pipeline shards the file list per host) and we assemble the
+    global array from per-host shards.
+
+    ``leading_dims`` skips that many axes before the batch axis — used for
+    the ``steps_per_execution`` multi-step path where batches are stacked
+    on a leading scan axis: shape (steps, batch, ...) shards axis 1.
     """
     n_dev = mesh.shape[axis_name]
 
     def _put(x):
         x = np.asarray(x)
+        axis = leading_dims
         # batches indivisible by the mesh (e.g. a small eval batch) fall
         # back to replication rather than failing the sharding constraint
+        if x.ndim <= axis or x.shape[axis] % n_dev != 0:
+            spec = P()
+            axis = None
+        else:
+            spec = P(*([None] * axis), axis_name,
+                     *([None] * (x.ndim - axis - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        if axis is None:
+            global_shape = x.shape
+        else:
+            global_shape = (x.shape[:axis]
+                            + (x.shape[axis] * jax.process_count(),)
+                            + x.shape[axis + 1:])
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def process_slice(x: np.ndarray, process_index: int,
+                  process_count: int) -> np.ndarray:
+    """This process's contiguous slice of a batch that every process holds
+    in full. The union of slices over all processes is exactly the batch,
+    with no overlap — the invariant multi-host evaluation relies on.
+    """
+    b = x.shape[0]
+    if b % process_count:
+        raise ValueError(
+            f"batch {b} not divisible by process count {process_count}")
+    per = b // process_count
+    return x[process_index * per:(process_index + 1) * per]
+
+
+def shard_global_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Shard a batch that EVERY process holds identically.
+
+    Validation iteration is deterministic (seeded file order, no sample
+    shuffle), so all hosts materialize the same batches; each process
+    contributes only its contiguous 1/P slice and the global shape equals
+    the host batch shape — every image enters the global batch EXACTLY
+    once. Contrast with `shard_batch`, which concatenates distinct
+    per-host shards (global = local x P) and would duplicate each image P
+    times if fed identical host batches (the reference instead distributed
+    one val dataset across replicas: reference executor.py:178-202).
+    """
+    pcount = jax.process_count()
+    pidx = jax.process_index()
+    n_dev = mesh.shape[axis_name]
+
+    def _put(x):
+        x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % n_dev != 0:
             spec = P()
         else:
             spec = P(axis_name, *([None] * (x.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
+        if pcount == 1:
             return jax.device_put(x, sharding)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        local = x if spec == P() else process_slice(x, pidx, pcount)
         return jax.make_array_from_process_local_data(
-            sharding, x, global_shape)
+            sharding, local, x.shape)
 
     return jax.tree_util.tree_map(_put, batch)
 

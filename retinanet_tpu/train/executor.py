@@ -85,6 +85,7 @@ class Executor:
         self.steps_per_execution = int(t.get("steps_per_execution", 1))
         self.save_every = int(t.save_every)
         self.val_freq = int(t.get("validation_freq", -1))
+        self.validation_samples = int(t.get("validation_samples", -1))
         self.batch_size = dict(t.batch_size)
         self.use_ema = bool(t.optimizer.get("use_moving_average", False))
         self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
@@ -107,15 +108,29 @@ class Executor:
             freeze_variables=list(t.get("freeze_variables", [])),
             precision=params.floatx.precision)
 
-        self._train_step = jax.jit(
-            step_lib.make_train_step(
-                self.model, self.loss_fn, self.encoder, self.normalizer,
-                self.tx, self.schedule,
-                use_weight_decay=bool(t.use_weight_decay),
-                weight_decay_alpha=float(t.weight_decay_alpha),
-                compute_dtype=self.compute_dtype,
-                ema_decay=self.ema_decay if self.use_ema else None),
-            donate_argnums=(0,))
+        base_step = step_lib.make_train_step(
+            self.model, self.loss_fn, self.encoder, self.normalizer,
+            self.tx, self.schedule,
+            use_weight_decay=bool(t.use_weight_decay),
+            weight_decay_alpha=float(t.weight_decay_alpha),
+            compute_dtype=self.compute_dtype,
+            ema_decay=self.ema_decay if self.use_ema else None)
+        # steps_per_execution > 1: one on-device lax.scan dispatch over a
+        # stack of host batches (reference executor.py:605-621's multi-step
+        # tf.function loop). One host->device transfer + one metrics fetch
+        # per `spe` optimizer steps.
+        if self.steps_per_execution > 1:
+            self._train_step = jax.jit(
+                step_lib.make_multi_step(base_step), donate_argnums=(0,))
+            for knob, value in (("save_every", self.save_every),
+                                ("validation_freq", self.val_freq)):
+                if value > 0 and value % self.steps_per_execution:
+                    logging.warning(
+                        "%s=%d is not a multiple of steps_per_execution=%d;"
+                        " it will trigger on the next multiple", knob, value,
+                        self.steps_per_execution)
+        else:
+            self._train_step = jax.jit(base_step, donate_argnums=(0,))
 
         self._inference_fn = None  # built lazily for eval
 
@@ -296,13 +311,22 @@ class Executor:
             current, self.train_steps, self._current_trial, self._max_trials)
 
         spe = max(self.steps_per_execution, 1)
+        multi_step = self.steps_per_execution > 1
         while current < self.train_steps:
             t0 = time.time()
-            batch = next(train_iter)
-            sharded = mesh_lib.shard_batch(batch, self.mesh)
+            if multi_step:
+                # one scan dispatch over `spe` stacked host batches
+                host_batches = [next(train_iter) for _ in range(spe)]
+                stacked = {k: np.stack([b[k] for b in host_batches])
+                           for k in host_batches[0]}
+                sharded = mesh_lib.shard_batch(stacked, self.mesh,
+                                               leading_dims=1)
+            else:
+                sharded = mesh_lib.shard_batch(next(train_iter), self.mesh)
             state, metrics = self._train_step(state, sharded)
             self._maybe_profile(current)
-            current += 1
+            prev = current
+            current += spe
             self.state = state
 
             # Fetch metrics to host only at logging cadence — each fetch is
@@ -316,10 +340,10 @@ class Executor:
                 current = int(state.step)
             dt = time.time() - t0
             meter.accumulate(1.0 / dt)
-            imgs_per_sec = meter.averaged_value * global_bs
+            imgs_per_sec = meter.averaged_value * global_bs * spe
             eta = format_eta(
                 (self.train_steps - current)
-                / max(meter.averaged_value, 1e-6))
+                / max(meter.averaged_value * spe, 1e-6))
 
             if should_log:
                 metrics["execution-time"] = round(dt, 4)
@@ -330,12 +354,17 @@ class Executor:
                     self.train_steps, eta, imgs_per_sec,
                     {k: round(float(v), 4) for k, v in metrics.items()})
 
-            if self.save_every and current % self.save_every == 0:
+            def _crossed(interval: int) -> bool:
+                # robust to `spe`-sized step jumps that skate over the
+                # exact multiple
+                return interval > 0 and (current // interval) > (
+                    prev // interval)
+
+            if self.save_every and _crossed(self.save_every):
                 self._save_checkpoint(current)
 
             if (self.enable_weights_info
-                    and current % (50 * max(self.steps_per_execution, 1))
-                    == 0):
+                    and _crossed(50 * max(self.steps_per_execution, 1))):
                 self._write_weights_info(current)
 
             if self._use_inflection and should_log:
@@ -348,7 +377,7 @@ class Executor:
                     self._current_trial += 1
                     return False
 
-            if (self.val_freq > 0 and current % self.val_freq == 0
+            if (self.val_freq > 0 and _crossed(self.val_freq)
                     and "val" in self.run_mode):
                 self.evaluate()
 
@@ -401,9 +430,21 @@ class Executor:
         return self.state.params
 
     def evaluate(self) -> Dict[str, float]:
+        """Run COCO evaluation over the validation set.
+
+        Multi-host design: every host iterates the SAME full val set
+        (deterministic order) and contributes its 1/P slice of each batch
+        via `shard_global_batch` — each image enters the global batch
+        exactly once. Detections are gathered back to every host, but only
+        process 0 accumulates, writes predictions and computes/logs scores
+        (the reference distributed one val dataset and gathered on the
+        chief: reference executor.py:178-202, 393-399). Non-chief
+        processes return {}.
+        """
         if self.val_input_fn is None:
             raise ValueError("val_input_fn is required for evaluation")
         infer = self._build_inference()
+        is_chief = jax.process_index() == 0
         evaluator = COCOEvaluator(
             input_shape=self.params.input.input_shape,
             annotation_file_path=(
@@ -411,28 +452,42 @@ class Executor:
             prediction_file_path=os.path.join(
                 self.model_dir, "predictions.json"),
             remap_class_ids=bool(
-                self.params.training.get("remap_class_ids", False)))
+                self.params.training.get("remap_class_ids", False))) \
+            if is_chief else None
+
+        # validation_samples bounds the eval loop (reference
+        # executor.py:48,58: val_steps = validation_samples // val batch)
+        max_batches = None
+        if self.validation_samples > 0:
+            max_batches = max(
+                self.validation_samples // int(self.batch_size["val"]), 1)
 
         params = self._eval_params()
         n_batches = 0
         for batch in self.val_input_fn():
-            images = mesh_lib.shard_batch(
+            if max_batches is not None and n_batches >= max_batches:
+                break
+            images = mesh_lib.shard_global_batch(
                 {"image": batch["image"]}, self.mesh)["image"]
             detections = infer(params, self.state.batch_stats, images)
             if jax.process_count() > 1:
                 # cross-host gather (reference strategy.gather,
-                # executor.py:393-399)
+                # executor.py:393-399); returns the full global batch's
+                # detections on every process
                 from jax.experimental import multihost_utils
                 detections = multihost_utils.process_allgather(detections)
             else:
                 detections = jax.device_get(detections)
-            evaluator.accumulate_results({
-                "image_id": batch["image_id"],
-                "detections": detections,
-                "resize_scale": batch["resize_scale"],
-            })
+            if is_chief:
+                evaluator.accumulate_results({
+                    "image_id": batch["image_id"],
+                    "detections": detections,
+                    "resize_scale": batch["resize_scale"],
+                })
             n_batches += 1
         logging.info("Evaluated %d batches", n_batches)
+        if not is_chief:
+            return {}
         scores = evaluator.evaluate()
         step = int(self.state.step)
         self.metrics.log(step, {f"evaluation/{k}": v

@@ -119,6 +119,75 @@ def test_evaluate_end_to_end(tmp_path, data):
         assert -1.0 <= v <= 1.0
 
 
+def test_validation_samples_bounds_eval(tmp_path, data, monkeypatch):
+    """training.validation_samples caps the eval loop (reference
+    executor.py:48,58: val_steps = validation_samples // val batch)."""
+    pattern, ann = data
+    params = _tiny_params(tmp_path, pattern, ann_path=ann)
+    params.training.validation_samples = 8  # data has 16 samples, bs=8
+
+    accumulated = []
+    from retinanet_tpu.train import executor as executor_mod
+    real = executor_mod.COCOEvaluator
+
+    class SpyEvaluator(real):
+        def accumulate_results(self, results):
+            accumulated.append(np.asarray(results["image_id"]))
+            return super().accumulate_results(results)
+
+    monkeypatch.setattr(executor_mod, "COCOEvaluator", SpyEvaluator)
+    ex = Executor(params, run_mode="val",
+                  val_input_fn=lambda: InputPipeline("val", params),
+                  enable_tensorboard=False)
+    ex.evaluate()
+    assert len(accumulated) == 1  # 8 // 8 = 1 batch, not 2
+
+
+def test_eval_accumulates_each_image_once(tmp_path, data, monkeypatch):
+    """Regression for the multi-host duplication bug: across the whole
+    evaluation, every image_id is accumulated exactly once."""
+    pattern, ann = data
+    params = _tiny_params(tmp_path, pattern, ann_path=ann)
+
+    accumulated = []
+    from retinanet_tpu.train import executor as executor_mod
+    real = executor_mod.COCOEvaluator
+
+    class SpyEvaluator(real):
+        def accumulate_results(self, results):
+            accumulated.append(np.asarray(results["image_id"]))
+            return super().accumulate_results(results)
+
+    monkeypatch.setattr(executor_mod, "COCOEvaluator", SpyEvaluator)
+    ex = Executor(params, run_mode="val",
+                  val_input_fn=lambda: InputPipeline("val", params),
+                  enable_tensorboard=False)
+    ex.evaluate()
+    ids = np.concatenate(accumulated)
+    real_ids = ids[ids >= 0]  # drop pad sentinels
+    assert len(real_ids) == 16
+    assert len(np.unique(real_ids)) == 16
+
+
+def test_steps_per_execution_multi_step(tmp_path, data):
+    """spe>1 wires make_multi_step: one scan dispatch per spe steps, with
+    checkpoints landing on the configured interval."""
+    pattern, _ = data
+    params = _tiny_params(tmp_path, pattern, train_steps=6, save_every=3)
+    params.training.steps_per_execution = 2
+    ex = Executor(params, run_mode="train",
+                  train_input_fn=lambda: InputPipeline(
+                      "train", params, max_boxes=20),
+                  enable_tensorboard=False)
+    assert ex.train()
+    assert int(ex.state.step) == 6
+    # save_every=3 is not a multiple of spe=2: saves fire when the step
+    # counter crosses each interval boundary (steps 4 and 6)
+    assert ex.ckpt_manager.all_steps() == [4, 6]
+    log = tmp_path / "models" / "exec_test" / "logs" / "train_metrics.jsonl"
+    assert log.exists() and len(log.read_text().splitlines()) >= 3
+
+
 def test_mesh_uses_all_devices():
     assert jax.device_count() == 8  # conftest forces the 8-device CPU mesh
 
