@@ -1,0 +1,418 @@
+"""Reference-weight transplant: load a reference (TF/Keras) RetinaNet's
+weights into the Flax model and compare forward passes end to end.
+
+This is the strongest available stand-in for the reference's published
+mAP-parity claim (no COCO data / egress in this sandbox): build the
+reference Keras graph in-process (reference retinanet/model/builder.py:36-119
+assembles backbone -> neck -> heads), copy every weight into the Flax
+model by a deterministic name mapping, and assert the per-level box/class
+outputs agree to fp32 tolerance. No reference code is copied into this
+repo — the reference is *executed*, exactly like tools/generate_goldens.py.
+
+Mapping invariants enforced at transplant time:
+  * every Flax leaf is filled exactly once,
+  * every Keras weight is consumed exactly once,
+  * shapes match exactly at each assignment.
+
+Usage: python tools/transplant.py   (prints per-level max abs diff)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import types
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+FLAGSHIP_CONFIG = (f"{REFERENCE}/configs/v3-32/"
+                   "mscoco-retinanet-resnet50-640x640-30x-256.json")
+
+
+class EasyDict(dict):
+    def __getattr__(self, k):
+        if k.startswith("__"):
+            raise AttributeError(k)
+        v = self[k]
+        if isinstance(v, dict) and not isinstance(v, EasyDict):
+            v = EasyDict(v)
+            self[k] = v
+        return v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def install_reference_shims():
+    """Stub easydict/pycocotools so the reference imports cleanly."""
+    m = types.ModuleType("easydict")
+    m.EasyDict = EasyDict
+    sys.modules["easydict"] = m
+    pct = types.ModuleType("pycocotools")
+    pcc = types.ModuleType("pycocotools.coco")
+    pcc.COCO = object
+    pce = types.ModuleType("pycocotools.cocoeval")
+    pce.COCOeval = object
+    sys.modules.update({"pycocotools": pct, "pycocotools.coco": pcc,
+                        "pycocotools.cocoeval": pce})
+
+
+# --------------------------------------------------------------- name mapping
+
+def _suffix(i: int) -> str:
+    return "" if i == 0 else f"_{i}"
+
+
+def backbone_layer_map(depth: int):
+    """Flax backbone module dir -> (keras conv name, keras bn name).
+
+    The reference resnet_fn creates layers strictly in forward order (stem,
+    then per block: [projection,] conv1..convN, each conv immediately
+    followed by its BN — reference model/backbone/resnet.py:147-345), so the
+    auto-numbered `conv2d_{k}` / `batch_normalization_{k}` suffixes align
+    pairwise with a simulated traversal.
+    """
+    from retinanet_tpu.models.resnet import MODEL_CONFIG
+    block_type, layers = MODEL_CONFIG[depth]
+    convs = (["conv1", "conv2"] if block_type == "residual"
+             else ["conv1", "conv2", "conv3"])
+    bn_of = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3", "proj": "proj_bn",
+             "stem": "stem_bn"}
+    mapping = {}
+    k = 0
+
+    def add(dirpath, conv_key):
+        nonlocal k
+        mapping[f"{dirpath}/{conv_key}" if conv_key != "stem" else "stem"] = (
+            f"conv2d{_suffix(k)}", f"batch_normalization{_suffix(k)}",
+            bn_of[conv_key],
+        )
+        k += 1
+
+    add("", "stem")
+    for g in range(1, 5):
+        for b in range(layers[g - 1]):
+            base = f"group{g}/block{b}"
+            if b == 0:
+                add(base, "proj")
+            for c in convs:
+                add(base, c)
+    return mapping
+
+
+def flax_to_keras_name(path: str, depth: int, min_level: int,
+                       max_level: int,
+                       _cache={}):
+    """Translate one Flax param/stat leaf path (e.g.
+    'backbone/group1/block0/conv1/conv/kernel') to the reference Keras
+    weight name (e.g. 'conv2d_2/kernel')."""
+    if depth not in _cache:
+        bmap = {}
+        for dirpath, (cname, bnname, bnkey) in \
+                backbone_layer_map(depth).items():
+            if dirpath == "stem":
+                bmap["stem"] = cname
+                bmap["stem_bn"] = bnname
+            else:
+                parent, conv_key = dirpath.rsplit("/", 1)
+                bmap[dirpath] = cname
+                bmap[f"{parent}/{bnkey}"] = bnname
+        _cache[depth] = bmap
+    bmap = _cache[depth]
+
+    parts = path.split("/")
+    top, leaf = parts[0], parts[-1]
+    leaf_map_bn = {"scale": "gamma", "bias": "beta", "mean": "moving_mean",
+                   "var": "moving_variance"}
+
+    if top == "backbone":
+        # conv leaves: .../<convdir>/conv/kernel ; BN leaves (our BatchNorm
+        # wraps an inner nn.BatchNorm named 'bn'): .../<bndir>/bn/<leaf>
+        if parts[-2] == "conv":
+            return f"{bmap['/'.join(parts[1:-2])]}/kernel"
+        assert parts[-2] == "bn", path
+        return f"{bmap['/'.join(parts[1:-2])]}/{leaf_map_bn[leaf]}"
+
+    if top == "neck":
+        mod = parts[1]
+        if mod == "backbone_max_level_conv":
+            return f"fpn/backbone_max_level_conv_1x1/{leaf}"
+        if mod == "backbone_max_level_bn":
+            return ("fpn/backbone_max_level_batch_normalization/"
+                    f"{leaf_map_bn[leaf]}")
+        if mod.endswith("_in_conv"):
+            lvl = mod[1:mod.index("_")]
+            return f"fpn/p{lvl}-in-channel-normalize-conv-1x1/{leaf}"
+        if mod.endswith("_in_bn"):
+            lvl = mod[1:mod.index("_")]
+            return (f"fpn/p{lvl}-in-channel-normalize-batch_normalization/"
+                    f"{leaf_map_bn[leaf]}")
+        if mod.endswith("_out_conv"):
+            lvl = mod[1:mod.index("_")]
+            return f"fpn/p{lvl}-out-conv-3x3/{leaf}"
+        if mod.endswith("_out_bn"):
+            lvl = mod[1:mod.index("_")]
+            return (f"fpn/p{lvl}-out-batch_normalization/"
+                    f"{leaf_map_bn[leaf]}")
+        raise KeyError(f"unmapped neck module: {path}")
+
+    if top in ("box_head", "class_head"):
+        h = top.replace("_", "-")
+        mod = parts[1]
+        if mod == "prediction":
+            return f"{h}/{h}-prediction-conv2d/{leaf}"
+        if mod.endswith("_bn"):  # conv{i}_p{l}_bn
+            i = mod[4:mod.index("_p")]
+            lvl = mod[mod.index("_p") + 2:-3]
+            return (f"{h}/{h}-{i}-p{lvl}-batch_normalization/"
+                    f"{leaf_map_bn[leaf]}")
+        if mod.startswith("conv"):
+            return f"{h}/{h}-{mod[4:]}-conv2d/{leaf}"
+        raise KeyError(f"unmapped head module: {path}")
+
+    raise KeyError(f"unmapped top-level module: {path}")
+
+
+# ------------------------------------------------------------ reference build
+
+def build_reference_model(params_dict: dict, input_size: int):
+    """Assemble the reference backbone->neck->heads functional model
+    (executing reference retinanet/model/builder.py's recipe without its
+    optimizer/loss compile step). Returns a tf.keras.Model mapping images
+    -> {'box-predictions': [...], 'class-predictions': [...]}."""
+    install_reference_shims()
+    import tensorflow as tf
+    import tf_keras
+    tf.keras = tf_keras
+    # reset the auto-numbering uid counters (conv2d_N / batch_normalization_N)
+    # so the deterministic name mapping holds for repeated builds in one
+    # process
+    tf_keras.backend.clear_session()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    params = EasyDict(json.loads(json.dumps(params_dict)))
+    params.architecture.backbone.checkpoint = ""  # no egress: random init
+    params.input.input_shape = [input_size, input_size]
+
+    from retinanet.model.backbone import build_backbone
+    from retinanet.model.neck import build_neck
+    from retinanet.model.head import build_detection_heads
+    from retinanet.model.utils import get_activation_op
+
+    input_shape = params.input.input_shape + [params.input.channels]
+    activation_fn = get_activation_op(params.architecture.activation.type)
+    backbone = build_backbone(
+        input_shape=input_shape, params=params.architecture.backbone,
+        normalization_op_params=params.architecture.batch_norm)
+    neck = build_neck(
+        params=params.architecture.feature_fusion,
+        conv_2d_op_params=params.architecture.conv_2d,
+        normalization_op_params=params.architecture.batch_norm,
+        activation_fn=activation_fn)
+    box_head, class_head = build_detection_heads(
+        params=params.architecture.head,
+        min_level=params.architecture.feature_fusion.min_level,
+        max_level=params.architecture.feature_fusion.max_level,
+        conv_2d_op_params=params.architecture.conv_2d,
+        normalization_op_params=params.architecture.batch_norm,
+        activation_fn=activation_fn)
+
+    images = tf.keras.Input(shape=input_shape, name="images")
+    features = neck(backbone(images))
+    outputs = {"box-predictions": box_head(features),
+               "class-predictions": class_head(features)}
+    return tf.keras.Model(inputs=[images], outputs=outputs, name="retinanet")
+
+
+def keras_weight_dict(model) -> dict:
+    return {w.name[:-2] if w.name.endswith(":0") else w.name: w.numpy()
+            for w in model.weights}
+
+
+# ----------------------------------------------------------------- transplant
+
+def transplant(params_cfg, keras_weights: dict, input_size: int):
+    """Fill the Flax model's param/stat trees from reference Keras weights.
+
+    Returns {'params': ..., 'batch_stats': ...} with every leaf assigned
+    exactly once and every Keras weight consumed exactly once.
+    """
+    import jax
+    import jax.numpy as jnp
+    from retinanet_tpu.models.retinanet import build_model
+
+    model = build_model(params_cfg)
+    dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, dummy, train=False), jax.random.PRNGKey(0))
+
+    depth = int(params_cfg.architecture.backbone.depth)
+    min_level = int(params_cfg.architecture.feature_fusion.min_level)
+    max_level = int(params_cfg.architecture.feature_fusion.max_level)
+    consumed = set()
+
+    def fill(tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for key_path, leaf in flat:
+            path = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in key_path)
+            kname = flax_to_keras_name(path, depth, min_level, max_level)
+            if kname not in keras_weights:
+                raise KeyError(f"{path} -> {kname}: not in reference model")
+            if kname in consumed:
+                raise KeyError(f"{kname} consumed twice (at {path})")
+            consumed.add(kname)
+            value = np.asarray(keras_weights[kname])
+            if value.shape != leaf.shape:
+                raise ValueError(
+                    f"{path} -> {kname}: shape {value.shape} != "
+                    f"{leaf.shape}")
+            leaves.append(jnp.asarray(value, leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    variables = {"params": fill(shapes["params"]),
+                 "batch_stats": fill(shapes["batch_stats"])}
+    unused = set(keras_weights) - consumed
+    if unused:
+        raise ValueError(f"reference weights not consumed: {sorted(unused)}")
+    return model, variables
+
+
+def run_parity(input_size: int = 256, seed: int = 7):
+    """Build both models, transplant, compare per-level outputs.
+
+    Returns dict: {('box'|'class', level): max_abs_diff}."""
+    with open(FLAGSHIP_CONFIG) as f:
+        ref_cfg = json.load(f)
+    ref_cfg["floatx"]["precision"] = "float32"
+
+    ref_model = build_reference_model(ref_cfg, input_size)
+    weights = keras_weight_dict(ref_model)
+
+    from retinanet_tpu.core.config import from_dict
+    cfg = json.loads(json.dumps(ref_cfg))
+    cfg["input"]["input_shape"] = [input_size, input_size]
+    cfg["architecture"]["backbone"]["checkpoint"] = ""
+    params_cfg = from_dict(cfg)
+
+    import jax
+    model, variables = transplant(params_cfg, weights, input_size)
+
+    rng = np.random.default_rng(seed)
+    images = rng.normal(0.0, 1.0,
+                        (2, input_size, input_size, 3)).astype(np.float32)
+
+    ref_out = ref_model(images, training=False)
+    flax_out = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, images)
+
+    diffs = {}
+    min_level = int(params_cfg.architecture.feature_fusion.min_level)
+    max_level = int(params_cfg.architecture.feature_fusion.max_level)
+    for kind in ("box-predictions", "class-predictions"):
+        for lvl in range(min_level, max_level + 1):
+            r = np.asarray(ref_out[kind][str(lvl)])
+            j = np.asarray(flax_out[kind][str(lvl)])
+            assert r.shape == j.shape, (kind, lvl, r.shape, j.shape)
+            diffs[(kind.split("-")[0], lvl)] = float(
+                np.max(np.abs(r - j)))
+    return diffs
+
+
+def run_detection_parity(input_size: int = 256, seed: int = 7,
+                         score_threshold: float = 0.005):
+    """Stage 2: compare FINAL detections at matched thresholds.
+
+    Runs the reference's full export postprocess graph (FuseDetections ->
+    TransformBoxesAndScores -> FilterTopKDetections -> GenerateDetections,
+    reference model/builder.py:153-190) against this repo's
+    make_inference_fn with the exact-parity knobs (full pre-NMS top-k, no
+    approx top-k) on the SAME transplanted weights and input.
+
+    Returns (ref_detections, flax_detections) as numpy dicts.
+    """
+    with open(FLAGSHIP_CONFIG) as f:
+        ref_cfg = json.load(f)
+    ref_cfg["floatx"]["precision"] = "float32"
+
+    # matched thresholds on BOTH sides; randomly-initialized weights put all
+    # class scores near the 0.01 bias prior, below the shipped 0.05
+    # threshold, so a lower matched threshold keeps the comparison non-empty
+    ref_cfg["inference"]["score_threshold"] = score_threshold
+
+    ref_model = build_reference_model(ref_cfg, input_size)
+    # Random init puts every class score within ~1e-3 of the 0.01 bias
+    # prior: thousands of score TIES make NMS rank order arbitrary and the
+    # comparison vacuous. Spread the logits/regressions by scaling the
+    # prediction kernels IN the reference model (both sides then share the
+    # scaled weights via the transplant).
+    for w in ref_model.weights:
+        if "prediction-conv2d/kernel" in w.name:
+            w.assign(w * (60.0 if "class-head" in w.name else 15.0))
+    weights = keras_weight_dict(ref_model)
+
+    from retinanet_tpu.core.config import from_dict
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.ops.postprocess import make_inference_fn
+    cfg = json.loads(json.dumps(ref_cfg))
+    cfg["input"]["input_shape"] = [input_size, input_size]
+    cfg["architecture"]["backbone"]["checkpoint"] = ""
+    cfg["inference"]["nms_top_k"] = cfg["inference"]["pre_nms_top_k"]
+    cfg["inference"]["use_approx_top_k"] = False
+    params_cfg = from_dict(cfg)
+
+    import jax
+    import jax.numpy as jnp
+    model, variables = transplant(params_cfg, weights, input_size)
+
+    rng = np.random.default_rng(seed)
+    images = rng.normal(0.0, 1.0,
+                        (2, input_size, input_size, 3)).astype(np.float32)
+
+    # reference postprocess graph, eager
+    from retinanet.model.layers import (FuseDetections, FilterTopKDetections,
+                                        GenerateDetections,
+                                        TransformBoxesAndScores)
+    rp = EasyDict(json.loads(json.dumps(ref_cfg)))
+    rp.input.input_shape = [input_size, input_size]
+    ref_raw = ref_model(images, training=False)
+    x = FuseDetections(
+        min_level=rp.architecture.feature_fusion.min_level,
+        max_level=rp.architecture.feature_fusion.max_level)(ref_raw)
+    x = TransformBoxesAndScores(params=rp)(x)
+    x = FilterTopKDetections(
+        top_k=rp.inference.pre_nms_top_k,
+        filter_per_class=rp.inference.filter_per_class)(x)
+    ref_det = GenerateDetections(
+        iou_threshold=rp.inference.iou_threshold,
+        score_threshold=rp.inference.score_threshold,
+        max_detections=rp.inference.max_detections,
+        soft_nms_sigma=rp.inference.soft_nms_sigma,
+        num_classes=rp.architecture.head.num_classes,
+        mode=rp.inference.mode)(x)
+    ref_det = {k: np.asarray(v) for k, v in ref_det.items()}
+
+    anchors = anchor_lib.from_params(params_cfg)
+    infer = jax.jit(make_inference_fn(
+        model, params_cfg, anchors, normalizer=lambda im: im,
+        compute_dtype=jnp.float32))
+    flax_det = jax.device_get(
+        infer(variables["params"], variables["batch_stats"], images))
+    flax_det = {k: np.asarray(v) for k, v in flax_det.items()}
+    return ref_det, flax_det
+
+
+if __name__ == "__main__":
+    diffs = run_parity()
+    for (kind, lvl), d in sorted(diffs.items()):
+        print(f"{kind} P{lvl}: max|diff| = {d:.3e}")
+    worst = max(diffs.values())
+    print(f"worst: {worst:.3e} -> {'PASS' if worst < 1e-4 else 'FAIL'}")
+    ref_det, flax_det = run_detection_parity()
+    print("reference detection keys:", {k: v.shape
+                                        for k, v in ref_det.items()})
+    print("flax detection keys:", {k: v.shape for k, v in flax_det.items()})
