@@ -49,13 +49,17 @@ class BatchNorm(nn.Module):
     global, i.e. this is sync-BN whenever the batch is sharded (the
     reference's SyncBatchNormalization, model/utils.py:7-22).
 
-    PERF NOTE (measured on v5e, 640x640 ResNet50 train step): BN statistic
-    reductions dominate the step (~66 ms vs <1 ms of convolutions), but a
-    hand-fused one-pass moments kernel with custom VJP (ops/fused_bn.py)
-    made the step 6% SLOWER — XLA:TPU already fuses the backward BN
-    reductions into adjacent kernels, and the custom_vjp boundary breaks
-    those fusions. Keeping the stock flax path; fused_bn stays as a
-    documented experiment.
+    PERF NOTE (round-2 xplane profile, 640x640 ResNet50 bs16 train step):
+    BN normalize+stats fusions total ~45 ms of the ~105 ms step, BUT they
+    run at this chip's measured effective HBM streaming rate (~120-140
+    GB/s on the tunneled v5e-lite; microbenchmarked vs elementwise, 2-D
+    reshape, hierarchical, matmul-with-ones and Pallas formulations — all
+    converge to the same rate, i.e. the step is bandwidth-bound and BN is
+    at the memory speed-of-light). Freezing stats entirely (invalid
+    semantics, upper bound) saves only ~11 ms. A hand-fused one-pass
+    moments kernel with custom VJP (round 1, ops/fused_bn.py) was 6%
+    SLOWER — the custom_vjp boundary breaks XLA's epilogue fusions.
+    Keeping the stock flax path.
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
