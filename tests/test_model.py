@@ -127,3 +127,13 @@ def test_fusion_modes(fusion):
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
     assert out["box-predictions"]["3"].shape == (1, 8, 8, 36)
+
+
+def test_use_sync_false_raises_on_multi_device():
+    """batch_norm.use_sync=false must fail loudly (not silently compute
+    sync moments) on a multi-device mesh — the knob is otherwise dead."""
+    params = _params()
+    params.architecture.batch_norm.use_sync = False
+    assert jax.device_count() > 1  # conftest provides the 8-device mesh
+    with pytest.raises(ValueError, match="use_sync"):
+        build_model(params)
