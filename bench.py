@@ -15,6 +15,7 @@ from __future__ import annotations
 import retinanet_tpu.core.cache  # noqa: F401,E402  persistent XLA cache
 
 import json
+import os
 import time
 
 import jax
@@ -79,6 +80,42 @@ def main():
     train_imgs_per_sec = train_bs / dt
     train_imgs_per_sec_per_chip = train_imgs_per_sec / n_chips
 
+    # ---- input-bound end-to-end: real host pipeline feeding the step -------
+    # JPEG decode -> geometric preprocess -> shard -> device train step; the
+    # number reflects the whole system, not just the device (the reference's
+    # tf.data pipeline kept pods fed — input_pipeline.py:57-92 — so the host
+    # path must not be the bottleneck).
+    import tempfile
+    from retinanet_tpu.data.pipeline import InputPipeline
+    from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
+
+    data_dir = os.path.join(tempfile.gettempdir(), "bench_tfrecords_640")
+    pattern = os.path.join(data_dir, "bench-*")
+    if not os.path.isdir(data_dir):
+        write_synthetic_tfrecords(data_dir, "bench", num_shards=4,
+                                  samples_per_shard=32)
+    params.dataloader_params.tfrecords = {"train": pattern, "val": pattern}
+    # host-only rate (decode+preprocess+collate, no device in the loop)
+    host_iter = iter(InputPipeline("train", params, batch_size=train_bs))
+    next(host_iter)
+    t0 = time.time()
+    for _ in range(8):
+        next(host_iter)
+    host_imgs_per_sec = 8 * train_bs / (time.time() - t0)
+    del host_iter
+
+    pipe_iter = iter(InputPipeline("train", params, batch_size=train_bs))
+    warm = mesh_lib.shard_batch(next(pipe_iter), mesh)
+    state, m = train_step(state, warm)  # uint8-input variant compile
+    float(m["total-loss"])
+    n_e2e = 10
+    t0 = time.time()
+    for _ in range(n_e2e):
+        state, m = train_step(
+            state, mesh_lib.shard_batch(next(pipe_iter), mesh))
+    float(m["total-loss"])
+    e2e_imgs_per_sec = n_e2e * train_bs / (time.time() - t0)
+
     # ---- batched inference (full serving path incl. NMS) -------------------
     infer = make_inference_fn(
         model, params, anchors, normalizer, compute_dtype=jnp.bfloat16)
@@ -103,6 +140,13 @@ def main():
         "infer_fps_bs8": round(infer_fps, 1),
         "infer_fps_vs_target90": round(infer_fps / BASELINE_INFER_FPS, 3),
         "infer_latency_ms": round(infer_dt * 1000, 2),
+        "input_bound_imgs_per_sec": round(e2e_imgs_per_sec, 1),
+        # host pipeline alone (JPEG decode -> warpAffine preprocess ->
+        # collate) on this sandbox's SINGLE core; the gap between this and
+        # input_bound is CPU contention with the tunnel client's transfer /
+        # dispatch threads, which disappears on real multi-core TPU hosts
+        "host_pipeline_imgs_per_sec": round(host_imgs_per_sec, 1),
+        "host_cores": os.cpu_count(),
     }))
 
 

@@ -145,3 +145,40 @@ def test_host_preprocessor_train_boxes(tmp_path):
     # 128->64 scale 0.5: box center (32,32) wh (32,32) in xywh
     np.testing.assert_allclose(out["boxes"][0], [32, 32, 32, 32], atol=0.5)
     assert out["classes"][0] == 2
+
+
+def test_warp_affine_matches_resize_crop_pad(tmp_path):
+    """The one-pass warpAffine fast path agrees with the explicit
+    resize -> crop -> mean-pad composition to cv2 fixed-point tolerance."""
+    import cv2
+    from retinanet_tpu.data.preprocessing import _resize
+    params = _params(tmp_path, "unused*")
+    pre = HostPreprocessor(params, max_boxes=10)
+    pre.use_augmentation = False
+    pre.horizontal_flip = False
+    pre.jitter = None
+
+    rng0 = np.random.default_rng(0)
+    image = rng0.integers(0, 255, (48, 36, 3), np.uint8)
+    boxes = np.array([[0.1, 0.1, 0.6, 0.7]], np.float32)
+    out = pre(image, boxes, np.array([1]), np.random.default_rng(1))
+
+    # explicit composition (the pre-fast-path semantics)
+    th, tw = 64, 64
+    scale = min(th / 48, tw / 36)
+    sh = np.round(np.array([48.0, 36.0]) * scale).astype(int)
+    resized = _resize(image, (sh[0], sh[1]), dtype=np.uint8)
+    expected = np.empty((th, tw, 3), np.uint8)
+    expected[:] = pre.mean.astype(np.uint8)
+    expected[:sh[0], :sh[1]] = resized[:th, :tw]
+
+    img = out["image"]
+    # interior of the image region: identical up to fixed-point rounding
+    inner = (slice(1, sh[0] - 1), slice(1, sh[1] - 1))
+    diff = np.abs(img[inner].astype(int) - expected[inner].astype(int))
+    assert np.percentile(diff, 99) <= 2 and diff.max() <= 16, (
+        diff.max(), np.percentile(diff, 99))
+    # pad region is exactly the mean
+    np.testing.assert_array_equal(
+        img[sh[0] + 1:], np.broadcast_to(
+            pre.mean.astype(np.uint8), img[sh[0] + 1:].shape))
