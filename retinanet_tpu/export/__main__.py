@@ -25,6 +25,13 @@ flags.DEFINE_string("model_dir", None, "Model dir holding checkpoints")
 flags.DEFINE_boolean("use_moving_average", False,
                      "Export EMA weights (reference export.py:167-172)")
 flags.DEFINE_boolean("int8", False, "Also write int8-quantized weights")
+flags.DEFINE_boolean("int8_activations", False,
+                     "Calibrate per-tensor activation scales and report "
+                     "int8-activation serving quality (TRT INT8 parity)")
+flags.DEFINE_string("calibration_mode", "entropy",
+                    "minmax | percentile | entropy")
+flags.DEFINE_integer("calibration_batches", 4,
+                     "Calibration stream length (synthetic scenes)")
 flags.DEFINE_boolean("stablehlo", True,
                      "Serialize the frozen StableHLO serving graph")
 
@@ -69,6 +76,41 @@ def main(argv):
             f.write(flax.serialization.to_bytes(qparams))
         logging.info("Wrote int8 weights: %s (compression %.2fx)",
                      path, stats["bytes_fp32"] / max(stats["bytes_q"], 1))
+
+    if FLAGS.int8_activations:
+        import json
+        import numpy as np
+        from retinanet_tpu.data.synthetic import synthetic_train_batch
+        from retinanet_tpu.export.calibration import calibrate_activations
+        from retinanet_tpu.export.quantize import int8_activation_report
+
+        h, w = (int(params.input.input_shape[0]),
+                int(params.input.input_shape[1]))
+        batches = [
+            synthetic_train_batch(2, (h, w), 20,
+                                  int(params.architecture.head.num_classes),
+                                  seed=i)["image"]
+            for i in range(FLAGS.calibration_batches)]
+        variables = {"params": model_params,
+                     "batch_stats": executor.state.batch_stats}
+        scales = calibrate_activations(
+            executor.model, variables, batches,
+            mode=FLAGS.calibration_mode,
+            preprocess=lambda im: executor.normalizer(im).astype(
+                executor.compute_dtype))
+        spath = os.path.join(FLAGS.export_dir, "activation_scales.json")
+        with open(spath, "w") as f:
+            json.dump({"mode": FLAGS.calibration_mode, "scales": scales}, f,
+                      indent=1)
+        report = int8_activation_report(
+            executor.model, params, executor.anchors, executor.normalizer,
+            variables, scales, [np.asarray(b) for b in batches],
+            compute_dtype=executor.compute_dtype)
+        rpath = os.path.join(FLAGS.export_dir, "int8_activation_report.json")
+        with open(rpath, "w") as f:
+            json.dump(report, f, indent=1)
+        logging.info("int8 activation calibration (%s): %s -> %s",
+                     FLAGS.calibration_mode, report, rpath)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,190 @@ def make_quantized_serving_fn(serving_fn: Callable, qparams,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# int8 ACTIVATION quantization (reference tensorrt INT8 parity): per-tensor
+# activation scales from export/calibration.py drive real s8 x s8 -> s32
+# convolutions on the MXU (verified supported on TPU), with per-output-
+# channel int8 weights and fp32 requantization + bias in the epilogue.
+# ---------------------------------------------------------------------------
+
+def _module_path(module) -> str:
+    path = getattr(module, "path", None)
+    if path is None and module.scope is not None:
+        path = module.scope.path
+    return "/".join(str(p) for p in (path or ()))
+
+
+def make_int8_conv_interceptor(scales: Dict[str, float],
+                               exclude: Tuple[str, ...] = ("prediction",),
+                               real_int8: bool = True) -> Callable:
+    """Flax interceptor replacing every calibrated nn.Conv with an int8
+    compute path.
+
+    real_int8=True: x and w quantize to int8, conv accumulates in int32 on
+    the MXU, output requantizes with (s_a * s_w[c]) per channel.
+    real_int8=False: fake-quant (quantize-dequantize) — same arithmetic in
+    the original dtype; useful on backends without int8 conv support.
+
+    Prediction convs are excluded by default (kept fp32 for logit fidelity,
+    the usual TRT practice of leaving heads unquantized).
+    """
+    from flax import linen as nn
+    from jax import lax
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        key = _module_path(m) if isinstance(m, nn.Conv) else None
+        if (key is None or context.method_name != "__call__"
+                or key not in scales
+                or any(e in key for e in exclude)):
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        s_a = jnp.float32(scales[key])
+        qx = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127)
+        if not real_int8:
+            return next_fun((qx * s_a).astype(x.dtype), *args[1:], **kwargs)
+
+        kernel = m.variables["params"]["kernel"].astype(jnp.float32)
+        s_w = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
+            1e-8) / 127.0
+        qw = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+
+        strides = m.strides if isinstance(m.strides, tuple) else (
+            (m.strides,) * 2 if isinstance(m.strides, int) else (1, 1))
+        dilation = m.kernel_dilation if isinstance(
+            m.kernel_dilation, tuple) else None
+        acc = lax.conv_general_dilated(
+            qx.astype(jnp.int8), qw,
+            window_strides=strides,
+            padding=m.padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=m.feature_group_count,
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (s_a * s_w)
+        if m.use_bias:
+            y = y + m.variables["params"]["bias"].astype(jnp.float32)
+        out_dtype = m.dtype or x.dtype
+        return y.astype(out_dtype)
+
+    return interceptor
+
+
+class Int8Model:
+    """Model proxy whose .apply runs with the int8 conv interceptor active —
+    drop-in for ops.postprocess.make_inference_fn(model=...)."""
+
+    def __init__(self, model, scales: Dict[str, float],
+                 exclude: Tuple[str, ...] = ("prediction",),
+                 real_int8: bool = True):
+        from flax import linen as nn
+        self._model = model
+        self._nn = nn
+        self._interceptor = make_int8_conv_interceptor(
+            scales, exclude, real_int8)
+
+    def apply(self, *args, **kwargs):
+        with self._nn.intercept_methods(self._interceptor):
+            return self._model.apply(*args, **kwargs)
+
+
+def detection_agreement_ap(fp_dets: Dict[str, np.ndarray],
+                           q_dets: Dict[str, np.ndarray],
+                           image_shape=(640, 640),
+                           min_score: float = 0.05) -> float:
+    """Quality metric beyond MAD: treat the fp32 model's detections as
+    pseudo ground truth and score the quantized model's detections against
+    them with the full COCO protocol. 1.0 = identical detection behavior."""
+    from retinanet_tpu.eval.coco import COCOEval, COCOIndex
+
+    images, anns, dts = [], [], []
+    ann_id = 1
+    n_img = fp_dets["scores"].shape[0]
+    h, w = image_shape
+    cats = set()
+    for b in range(n_img):
+        images.append({"id": b + 1, "height": int(h), "width": int(w)})
+        # detections carry normalized (x1, y1, x2, y2) corners
+        # (ops/postprocess.py:decode_detections)
+        nv = int(fp_dets["valid_detections"][b])
+        for i in range(nv):
+            if float(fp_dets["scores"][b][i]) < min_score:
+                continue
+            x1, y1, x2, y2 = [float(v) for v in fp_dets["boxes"][b][i]]
+            cat = int(fp_dets["classes"][b][i]) + 1
+            cats.add(cat)
+            anns.append({"id": ann_id, "image_id": b + 1,
+                         "category_id": cat, "iscrowd": 0,
+                         "bbox": [x1 * w, y1 * h,
+                                  max((x2 - x1) * w, 1e-3),
+                                  max((y2 - y1) * h, 1e-3)]})
+            ann_id += 1
+        nq = int(q_dets["valid_detections"][b])
+        for i in range(nq):
+            x1, y1, x2, y2 = [float(v) for v in q_dets["boxes"][b][i]]
+            cat = int(q_dets["classes"][b][i]) + 1
+            cats.add(cat)
+            dts.append({"image_id": b + 1, "category_id": cat,
+                        "score": float(q_dets["scores"][b][i]),
+                        "bbox": [x1 * w, y1 * h,
+                                 max((x2 - x1) * w, 1e-3),
+                                 max((y2 - y1) * h, 1e-3)]})
+    if not anns:
+        return -1.0
+    gt = {"images": images, "annotations": anns,
+          "categories": [{"id": c, "name": str(c)} for c in sorted(cats)]}
+    ev = COCOEval(COCOIndex(gt), dts)
+    ev.evaluate()
+    ev.accumulate()
+    return float(ev.stats[0])  # AP@0.50:0.95
+
+
+def int8_activation_report(model, params_cfg, anchors, normalizer,
+                           variables, scales: Dict[str, float],
+                           sample_batches: Iterable,
+                           compute_dtype=jnp.float32,
+                           real_int8: bool = True) -> Dict[str, float]:
+    """Quality of the int8-activation serving path vs fp, measured as (a)
+    detection-agreement AP under the full COCO protocol (fp detections as
+    pseudo-GT) and (b) score/box MADs — the 'beyond score-MAD' report the
+    reference's TRT calibration path never had."""
+    from retinanet_tpu.ops.postprocess import make_inference_fn
+
+    fp_infer = jax.jit(make_inference_fn(
+        model, params_cfg, anchors, normalizer,
+        compute_dtype=compute_dtype))
+    q_model = Int8Model(model, scales, real_int8=real_int8)
+    q_infer = jax.jit(make_inference_fn(
+        q_model, params_cfg, anchors, normalizer,
+        compute_dtype=compute_dtype))
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    ap_sum, score_mad, box_mad, n = 0.0, 0.0, 0.0, 0
+    h, w = (int(params_cfg.input.input_shape[0]),
+            int(params_cfg.input.input_shape[1]))
+    for images in sample_batches:
+        images = jnp.asarray(images)
+        f = jax.device_get(fp_infer(params, batch_stats, images))
+        q = jax.device_get(q_infer(params, batch_stats, images))
+        ap = detection_agreement_ap(
+            f, q, image_shape=(h, w),
+            min_score=float(params_cfg.inference.score_threshold))
+        if ap >= 0:
+            ap_sum += ap
+            n += 1
+        score_mad += float(np.abs(f["scores"] - q["scores"]).mean())
+        box_mad += float(np.abs(f["boxes"] - q["boxes"]).mean())
+    return {
+        "num_calibrated_convs": len(scales),
+        "detection_agreement_ap": ap_sum / n if n else -1.0,
+        "mean_abs_score_diff": score_mad / max(n, 1),
+        "mean_abs_box_diff": box_mad / max(n, 1),
+    }
+
+
 def quantization_report(serving_fn: Callable, params, batch_stats,
                         sample_batches: Iterable) -> Dict[str, float]:
     """Compare fp vs int8 detections on sample batches (the calibration-set
