@@ -109,6 +109,17 @@ def build_optimizer(opt_params,
         core = optax.adam(learning_rate=schedule)
     elif name == "adamw":
         core = optax.adamw(learning_rate=schedule)
+    elif hasattr(optax, name):
+        # generic registry: any optax optimizer factory by name, mirroring
+        # the reference's `tf.optimizers.get(config)` passthrough
+        # (reference optimizers/builder.py:33-38). Extra config fields that
+        # match the factory's signature are forwarded.
+        import inspect
+        factory = getattr(optax, name)
+        accepted = set(inspect.signature(factory).parameters)
+        kwargs = {k: v for k, v in opt_params.items()
+                  if k in accepted and k not in ("learning_rate",)}
+        core = factory(learning_rate=schedule, **kwargs)
     else:
         raise ValueError(f"Unsupported optimizer: {opt_params.name}")
 
