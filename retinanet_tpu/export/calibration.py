@@ -158,7 +158,14 @@ def compute_scales(amax: Dict[str, float],
             idx = int(np.searchsorted(c, c[-1] * percentile / 100.0))
             thr = (idx + 1) / NUM_BINS * a
         elif mode == "entropy":
-            i = _entropy_threshold(hists[key])
+            # exclude the zero bin: post-ReLU activations put ~half their
+            # mass exactly at 0, which needs no representation and otherwise
+            # drags the KL optimum to a tiny threshold that clips the
+            # information-carrying tail (measured: AP 0.71 -> 0.06 on a
+            # trained model with bin 0 in; 0.71 -> ~0.71 with it out)
+            h = hists[key].astype(np.float64).copy()
+            h[0] = 0.0
+            i = _entropy_threshold(h)
             thr = (i + 0.5) / NUM_BINS * a
         else:
             raise ValueError(f"unknown calibration mode: {mode}")

@@ -28,21 +28,11 @@ flags.DEFINE_float("target_ap", 0.3, "Required AP@0.5 after overfitting")
 flags.DEFINE_string("workdir", None, "Working directory (default: temp)")
 
 
-def main(argv):
-    del argv
-    import retinanet_tpu.core.cache  # noqa: F401
+def make_params(workdir, pattern, ann, steps):
+    """The overfit experiment config — shared with tools/int8_quality_check.py
+    so the int8 evaluation runs on the exact trained model."""
     from retinanet_tpu.core import config as cfg
-    from retinanet_tpu.data.pipeline import InputPipeline
-    from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
-    from retinanet_tpu.train.executor import Executor
-
-    workdir = FLAGS.workdir or tempfile.mkdtemp(prefix="overfit_")
-    pattern, ann = write_synthetic_tfrecords(
-        os.path.join(workdir, "data"), "train", num_shards=1,
-        samples_per_shard=FLAGS.num_images, num_classes=6,
-        write_annotations=True, seed=11)
-
-    params = cfg.from_dict({
+    return cfg.from_dict({
         "experiment": {"name": "overfit",
                        "model_dir": os.path.join(workdir, "models")},
         "input": {"input_shape": [128, 128], "channels": 3},
@@ -60,7 +50,7 @@ def main(argv):
             "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
         "loss": {"box_loss_weight": 50.0},
         "training": {
-            "train_steps": FLAGS.steps, "save_every": max(FLAGS.steps, 100),
+            "train_steps": steps, "save_every": max(steps, 100),
             "steps_per_execution": 50,
             "batch_size": {"train": 8, "val": 8},
             "annotation_file_path": ann,
@@ -81,6 +71,22 @@ def main(argv):
         "inference": {"mode": "PerClassHardNMS", "score_threshold": 0.3,
                       "pre_nms_top_k": 1000, "max_detections": 25},
     })
+
+
+def main(argv):
+    del argv
+    import retinanet_tpu.core.cache  # noqa: F401
+    from retinanet_tpu.data.pipeline import InputPipeline
+    from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
+    from retinanet_tpu.train.executor import Executor
+
+    workdir = FLAGS.workdir or tempfile.mkdtemp(prefix="overfit_")
+    pattern, ann = write_synthetic_tfrecords(
+        os.path.join(workdir, "data"), "train", num_shards=1,
+        samples_per_shard=FLAGS.num_images, num_classes=6,
+        write_annotations=True, seed=11)
+
+    params = make_params(workdir, pattern, ann, FLAGS.steps)
 
     ex = Executor(
         params, run_mode="train_val",
