@@ -105,6 +105,13 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
         # 68 ms (XLA transposes internally anyway); bf16 selection + exact
         # re-gather = 65 ms (cast+gather cost more than the bandwidth
         # saved). Keeping the simple form.
+        # NEGATIVE RESULT (round 2): a two-stage approx_max_k (stage 1
+        # aggregate_to_topk=False to skip the (B,C,~9600) winner sort
+        # [3.8 ms in the profile], stage 2 approx over the winners +
+        # take_along_axis index remap) measured 29.3 ms vs 27.2 ms bs8 —
+        # the remap gather costs more than the sort it saves. Detections
+        # were verified identical to exact top-k on a trained model, but
+        # the speed regressed; keeping single-stage.
         scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
         top_scores, idx = top_fn(scores_t, k)            # (B, C, k)
         # gather through a flattened index so XLA never materializes the
