@@ -26,8 +26,11 @@ pytest.importorskip("tf_keras")
 
 @pytest.fixture(scope="module")
 def parity_diffs():
+    # healthify: signal-preserving seeded weights + RANDOMIZED BN moving
+    # stats, so the BN statistics mapping is load-bearing (identity stats
+    # would hide mean<->variance or layer mix-ups)
     from tools.transplant import run_parity
-    return run_parity(input_size=256, seed=7)
+    return run_parity(input_size=256, seed=7, healthify=True)
 
 
 def test_per_level_outputs_match_reference(parity_diffs):
@@ -40,6 +43,55 @@ def test_all_levels_compared(parity_diffs):
     levels = {l for _, l in parity_diffs}
     assert kinds == {"box", "class"}
     assert levels == {3, 4, 5, 6, 7}
+
+
+def test_efficientnet_b2_outputs_match_reference():
+    """Second model family: the shipped EfficientNet-B2 spec (MBConv + SE +
+    separable FPN/head convs + BalanceFeatures). healthify is ESSENTIAL
+    here: at default random init the deep swish stack attenuates the signal
+    to ~1e-6 by P7 and any comparison is vacuous (this initially hid a
+    missing BalanceFeatures stage in the parity harness). Worst observed
+    diff with healthy weights: 2.8e-6."""
+    import jax
+    from tools.transplant import (EFFICIENTNET_CONFIG, run_parity,
+                                  build_reference_model)
+    diffs = run_parity(input_size=256, seed=7,
+                       config_path=EFFICIENTNET_CONFIG, healthify=True)
+    kinds = {k for k, _ in diffs}
+    levels = {l for _, l in diffs}
+    assert kinds == {"box", "class"} and levels == {3, 4, 5, 6, 7}
+    for key, diff in diffs.items():
+        assert diff < 1e-4, (key, diff)
+
+
+def test_efficientnet_b2_outputs_nontrivial():
+    """Guard against vacuous parity (e.g. all-zero outputs agreeing)."""
+    import json
+    import jax
+    import numpy as np
+    from tools.transplant import (EFFICIENTNET_CONFIG, build_reference_model,
+                                  keras_weight_dict, transplant)
+    from retinanet_tpu.core.config import from_dict
+
+    with open(EFFICIENTNET_CONFIG) as f:
+        cfg = json.load(f)
+    cfg["floatx"]["precision"] = "float32"
+    ref_model = build_reference_model(cfg, 128)
+    from tools.transplant import healthify_weights
+    healthify_weights(ref_model, seed=7)
+    weights = keras_weight_dict(ref_model)
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["input"]["input_shape"] = [128, 128]
+    cfg2["architecture"]["backbone"]["checkpoint"] = ""
+    model, variables = transplant(from_dict(cfg2), weights, 128)
+    x = np.random.default_rng(0).normal(0, 1, (1, 128, 128, 3)).astype(
+        np.float32)
+    out = jax.jit(lambda v, im: model.apply(v, im, train=False))(
+        variables, x)
+    cls = np.asarray(out["class-predictions"]["3"])
+    box = np.asarray(out["box-predictions"]["3"])
+    assert cls.std() > 1e-2, cls.std()
+    assert box.std() > 1e-2, box.std()
 
 
 def test_final_detections_match_reference():

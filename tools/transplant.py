@@ -101,56 +101,111 @@ def backbone_layer_map(depth: int):
     return mapping
 
 
-def flax_to_keras_name(path: str, depth: int, min_level: int,
-                       max_level: int,
-                       _cache={}):
+_LEAF_MAP_BN = {"scale": "gamma", "bias": "beta", "mean": "moving_mean",
+                "var": "moving_variance"}
+
+
+def make_resnet_mapper(depth: int):
+    """Backbone mapper: Flax leaf path parts (after 'backbone') -> Keras
+    weight name, for the reference ResNet's auto-numbered layers."""
+    bmap = {}
+    for dirpath, (cname, bnname, bnkey) in backbone_layer_map(depth).items():
+        if dirpath == "stem":
+            bmap["stem"] = cname
+            bmap["stem_bn"] = bnname
+        else:
+            parent, conv_key = dirpath.rsplit("/", 1)
+            bmap[dirpath] = cname
+            bmap[f"{parent}/{bnkey}"] = bnname
+
+    def mapper(parts):
+        # conv leaves: .../<convdir>/conv/kernel ; BN leaves (our BatchNorm
+        # wraps an inner nn.BatchNorm named 'bn'): .../<bndir>/bn/<leaf>
+        leaf = parts[-1]
+        if parts[-2] == "conv":
+            return f"{bmap['/'.join(parts[:-2])]}/kernel"
+        assert parts[-2] == "bn", parts
+        return f"{bmap['/'.join(parts[:-2])]}/{_LEAF_MAP_BN[leaf]}"
+
+    return mapper
+
+
+def make_efficientnet_mapper(variant: str, blocks_with_expand: set):
+    """Backbone mapper for the reference EfficientNet's per-block names
+    (reference model/backbone/efficientnet.py: blocks_N/{conv2d[,_1],
+    depthwise_conv2d, tpu_batch_normalization[_i], se/conv2d[,_1]}).
+    Blocks without an expand conv shift the conv2d/BN numbering down one.
+    """
+    def mapper(parts):
+        leaf = parts[-1]
+        if parts[0] == "stem_conv":
+            return f"{variant}/stem/conv2d/kernel"
+        if parts[0] == "stem_bn":
+            return (f"{variant}/stem/batch_normalization/"
+                    f"{_LEAF_MAP_BN[leaf]}")
+        block, sub = parts[0], parts[1]
+        has_expand = block in blocks_with_expand
+        if sub in ("expand_conv", "fused_conv"):
+            return f"{variant}/{block}/conv2d/kernel"
+        if sub == "project_conv":
+            return (f"{variant}/{block}/conv2d"
+                    f"{'_1' if has_expand else ''}/kernel")
+        if sub == "depthwise_conv":
+            return f"{variant}/{block}/depthwise_conv2d/depthwise_kernel"
+        if sub == "se":
+            which = {"reduce": "conv2d", "expand": "conv2d_1"}[parts[2]]
+            return f"{variant}/{block}/se/{which}/{leaf}"
+        if sub.startswith("bn"):
+            i = int(sub[2:]) - (0 if has_expand else 1)
+            return (f"{variant}/{block}/tpu_batch_normalization"
+                    f"{_suffix(i)}/{_LEAF_MAP_BN[leaf]}")
+        raise KeyError(f"unmapped efficientnet module: {parts}")
+
+    return mapper
+
+
+def flax_to_keras_name(path: str, backbone_mapper, min_level: int,
+                       max_level: int):
     """Translate one Flax param/stat leaf path (e.g.
     'backbone/group1/block0/conv1/conv/kernel') to the reference Keras
     weight name (e.g. 'conv2d_2/kernel')."""
-    if depth not in _cache:
-        bmap = {}
-        for dirpath, (cname, bnname, bnkey) in \
-                backbone_layer_map(depth).items():
-            if dirpath == "stem":
-                bmap["stem"] = cname
-                bmap["stem_bn"] = bnname
-            else:
-                parent, conv_key = dirpath.rsplit("/", 1)
-                bmap[dirpath] = cname
-                bmap[f"{parent}/{bnkey}"] = bnname
-        _cache[depth] = bmap
-    bmap = _cache[depth]
-
     parts = path.split("/")
     top, leaf = parts[0], parts[-1]
-    leaf_map_bn = {"scale": "gamma", "bias": "beta", "mean": "moving_mean",
-                   "var": "moving_variance"}
+    leaf_map_bn = _LEAF_MAP_BN
+
+    def conv_leaf():
+        # our Conv2D: plain -> conv/{kernel,bias}; separable ->
+        # depthwise/kernel + pointwise/{kernel,bias}. Keras SeparableConv2D
+        # stores depthwise_kernel / pointwise_kernel / bias.
+        sub = parts[-2]
+        if sub == "conv":
+            return leaf
+        if sub == "depthwise":
+            return "depthwise_kernel"
+        if sub == "pointwise":
+            return "pointwise_kernel" if leaf == "kernel" else "bias"
+        return leaf
 
     if top == "backbone":
-        # conv leaves: .../<convdir>/conv/kernel ; BN leaves (our BatchNorm
-        # wraps an inner nn.BatchNorm named 'bn'): .../<bndir>/bn/<leaf>
-        if parts[-2] == "conv":
-            return f"{bmap['/'.join(parts[1:-2])]}/kernel"
-        assert parts[-2] == "bn", path
-        return f"{bmap['/'.join(parts[1:-2])]}/{leaf_map_bn[leaf]}"
+        return backbone_mapper(parts[1:])
 
     if top == "neck":
         mod = parts[1]
         if mod == "backbone_max_level_conv":
-            return f"fpn/backbone_max_level_conv_1x1/{leaf}"
+            return f"fpn/backbone_max_level_conv_1x1/{conv_leaf()}"
         if mod == "backbone_max_level_bn":
             return ("fpn/backbone_max_level_batch_normalization/"
                     f"{leaf_map_bn[leaf]}")
         if mod.endswith("_in_conv"):
             lvl = mod[1:mod.index("_")]
-            return f"fpn/p{lvl}-in-channel-normalize-conv-1x1/{leaf}"
+            return f"fpn/p{lvl}-in-channel-normalize-conv-1x1/{conv_leaf()}"
         if mod.endswith("_in_bn"):
             lvl = mod[1:mod.index("_")]
             return (f"fpn/p{lvl}-in-channel-normalize-batch_normalization/"
                     f"{leaf_map_bn[leaf]}")
         if mod.endswith("_out_conv"):
             lvl = mod[1:mod.index("_")]
-            return f"fpn/p{lvl}-out-conv-3x3/{leaf}"
+            return f"fpn/p{lvl}-out-conv-3x3/{conv_leaf()}"
         if mod.endswith("_out_bn"):
             lvl = mod[1:mod.index("_")]
             return (f"fpn/p{lvl}-out-batch_normalization/"
@@ -161,14 +216,14 @@ def flax_to_keras_name(path: str, depth: int, min_level: int,
         h = top.replace("_", "-")
         mod = parts[1]
         if mod == "prediction":
-            return f"{h}/{h}-prediction-conv2d/{leaf}"
+            return f"{h}/{h}-prediction-conv2d/{conv_leaf()}"
         if mod.endswith("_bn"):  # conv{i}_p{l}_bn
             i = mod[4:mod.index("_p")]
             lvl = mod[mod.index("_p") + 2:-3]
             return (f"{h}/{h}-{i}-p{lvl}-batch_normalization/"
                     f"{leaf_map_bn[leaf]}")
         if mod.startswith("conv"):
-            return f"{h}/{h}-{mod[4:]}-conv2d/{leaf}"
+            return f"{h}/{h}-{mod[4:]}-conv2d/{conv_leaf()}"
         raise KeyError(f"unmapped head module: {path}")
 
     raise KeyError(f"unmapped top-level module: {path}")
@@ -221,6 +276,15 @@ def build_reference_model(params_dict: dict, input_size: int):
 
     images = tf.keras.Input(shape=input_shape, name="images")
     features = neck(backbone(images))
+    if params.architecture.feature_fusion.use_balanced_features:
+        # reference builder.py:86-92 inserts the (weight-free)
+        # BalanceFeatures stage between neck and heads
+        from retinanet.model.layers import BalanceFeatures
+        features = BalanceFeatures(
+            min_level=params.architecture.feature_fusion.min_level,
+            max_level=params.architecture.feature_fusion.max_level,
+            intermediate_level=(
+                params.architecture.feature_fusion.min_level + 1))(features)
     outputs = {"box-predictions": box_head(features),
                "class-predictions": class_head(features)}
     return tf.keras.Model(inputs=[images], outputs=outputs, name="retinanet")
@@ -229,6 +293,40 @@ def build_reference_model(params_dict: dict, input_size: int):
 def keras_weight_dict(model) -> dict:
     return {w.name[:-2] if w.name.endswith(":0") else w.name: w.numpy()
             for w in model.weights}
+
+
+def healthify_weights(model, seed: int = 0, gain: float = 1.2) -> None:
+    """Re-initialize a reference Keras model with seeded, signal-preserving
+    weights and RANDOMIZED BN moving statistics.
+
+    Two reasons: (1) deep swish stacks at default random init attenuate the
+    signal to ~1e-6 by P7 (swish(x) ~ x/2 for small x), making output-parity
+    comparisons vacuous — `gain` compensates; (2) non-identity moving
+    mean/variance make the BN-statistics name mapping load-bearing (identity
+    stats would hide mean<->variance or layer mix-ups)."""
+    rng = np.random.default_rng(seed)
+    for w in model.weights:
+        shape = [int(s) for s in w.shape]
+        name = w.name
+        if "gamma" in name:
+            value = rng.uniform(0.9, 1.1, shape)
+        elif "beta" in name:
+            value = rng.normal(0.0, 0.03, shape)
+        elif "moving_mean" in name:
+            value = rng.normal(0.0, 0.05, shape)
+        elif "moving_variance" in name:
+            value = rng.uniform(0.7, 1.3, shape)
+        elif "depthwise_kernel" in name:
+            fan_in = shape[0] * shape[1]
+            value = rng.normal(0.0, gain / np.sqrt(fan_in), shape)
+        elif "kernel" in name:
+            fan_in = max(int(np.prod(shape[:-1])), 1)
+            value = rng.normal(0.0, gain / np.sqrt(fan_in), shape)
+        elif "bias" in name:
+            value = rng.normal(0.0, 0.02, shape)
+        else:
+            continue
+        w.assign(value.astype(np.float32))
 
 
 # ----------------------------------------------------------------- transplant
@@ -248,7 +346,19 @@ def transplant(params_cfg, keras_weights: dict, input_size: int):
     shapes = jax.eval_shape(
         lambda k: model.init(k, dummy, train=False), jax.random.PRNGKey(0))
 
-    depth = int(params_cfg.architecture.backbone.depth)
+    bb_type = params_cfg.architecture.backbone.type
+    if bb_type == "resnet":
+        backbone_mapper = make_resnet_mapper(
+            int(params_cfg.architecture.backbone.depth))
+    elif bb_type.startswith("efficientnet"):
+        blocks_with_expand = {
+            b for b, mods in shapes["params"]["backbone"].items()
+            if isinstance(mods, dict)
+            and ("expand_conv" in mods or "fused_conv" in mods)}
+        backbone_mapper = make_efficientnet_mapper(bb_type,
+                                                   blocks_with_expand)
+    else:
+        raise NotImplementedError(f"no transplant mapper for {bb_type}")
     min_level = int(params_cfg.architecture.feature_fusion.min_level)
     max_level = int(params_cfg.architecture.feature_fusion.max_level)
     consumed = set()
@@ -260,13 +370,18 @@ def transplant(params_cfg, keras_weights: dict, input_size: int):
             path = "/".join(
                 str(getattr(k, "key", getattr(k, "idx", k)))
                 for k in key_path)
-            kname = flax_to_keras_name(path, depth, min_level, max_level)
+            kname = flax_to_keras_name(path, backbone_mapper, min_level,
+                                       max_level)
             if kname not in keras_weights:
                 raise KeyError(f"{path} -> {kname}: not in reference model")
             if kname in consumed:
                 raise KeyError(f"{kname} consumed twice (at {path})")
             consumed.add(kname)
             value = np.asarray(keras_weights[kname])
+            if kname.endswith("depthwise_kernel"):
+                # Keras DepthwiseConv2D stores (K, K, C, mult); flax grouped
+                # nn.Conv stores (K, K, 1, C)
+                value = value.transpose(0, 1, 3, 2)
             if value.shape != leaf.shape:
                 raise ValueError(
                     f"{path} -> {kname}: shape {value.shape} != "
@@ -282,15 +397,26 @@ def transplant(params_cfg, keras_weights: dict, input_size: int):
     return model, variables
 
 
-def run_parity(input_size: int = 256, seed: int = 7):
+EFFICIENTNET_CONFIG = (f"{REFERENCE}/configs/v3-8/"
+                       "mscoco-retinanet-efficientnet-b2-768x768-30x-64.json")
+
+
+def run_parity(input_size: int = 256, seed: int = 7,
+               config_path: str = FLAGSHIP_CONFIG,
+               healthify: bool = False):
     """Build both models, transplant, compare per-level outputs.
 
-    Returns dict: {('box'|'class', level): max_abs_diff}."""
-    with open(FLAGSHIP_CONFIG) as f:
+    Returns dict: {('box'|'class', level): max_abs_diff}.
+    `healthify` re-seeds the reference weights with signal-preserving
+    scales + randomized BN moving stats (required for deep swish stacks —
+    see healthify_weights)."""
+    with open(config_path) as f:
         ref_cfg = json.load(f)
     ref_cfg["floatx"]["precision"] = "float32"
 
     ref_model = build_reference_model(ref_cfg, input_size)
+    if healthify:
+        healthify_weights(ref_model, seed=seed)
     weights = keras_weight_dict(ref_model)
 
     from retinanet_tpu.core.config import from_dict
