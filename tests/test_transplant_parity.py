@@ -64,6 +64,19 @@ def test_efficientnet_b2_outputs_match_reference():
         assert diff < 1e-4, (key, diff)
 
 
+def test_efficientnet_lite2_outputs_match_reference():
+    """The lite family exercises what B2 doesn't: fused-conv blocks, no SE,
+    relu6. Shipped spec (512x512 config). Worst observed diff 6.2e-5."""
+    from tools.transplant import REFERENCE, run_parity
+    cfg = (f"{REFERENCE}/configs/v3-32/"
+           "mscoco-retinanet-efficientnet-lite2-512x512-30x-256.json")
+    diffs = run_parity(input_size=256, seed=7, config_path=cfg,
+                       healthify=True)
+    assert {l for _, l in diffs} == {3, 4, 5, 6, 7}
+    for key, diff in diffs.items():
+        assert diff < 2e-4, (key, diff)
+
+
 def test_efficientnet_b2_outputs_nontrivial():
     """Guard against vacuous parity (e.g. all-zero outputs agreeing)."""
     import json
