@@ -77,6 +77,25 @@ def test_efficientnet_lite2_outputs_match_reference():
         assert diff < 2e-4, (key, diff)
 
 
+@pytest.mark.parametrize("variant,tol", [
+    ("mscoco-retinanet-mobiledet-cpu-448x448-30x-64.json", 1e-4),
+    # edge_tpu's tucker/fused stack runs hotter under healthified weights
+    # (endpoint std ~4); diffs are fp accumulation, relative ~1.5e-5
+    ("mscoco-retinanet-mobiledet-edge-tpu-448x448-30x-64.json", 2e-3),
+], ids=["mobiledet_cpu", "mobiledet_edge_tpu"])
+def test_mobiledet_outputs_match_reference(variant, tol):
+    """Third/fourth families: MobileDet via the shared-creation-counter
+    mapping (IBN+SE+swish6 for cpu; tucker/fused for edge_tpu). Observed:
+    cpu 2.1e-6, edge_tpu 5.1e-4."""
+    from tools.transplant import REFERENCE, run_parity
+    diffs = run_parity(input_size=256, seed=7,
+                       config_path=f"{REFERENCE}/configs/v3-8/{variant}",
+                       healthify=True)
+    assert len(diffs) >= 8
+    for key, diff in diffs.items():
+        assert diff < tol, (key, diff)
+
+
 def test_efficientnet_b2_outputs_nontrivial():
     """Guard against vacuous parity (e.g. all-zero outputs agreeing)."""
     import json

@@ -164,6 +164,41 @@ def make_efficientnet_mapper(variant: str, blocks_with_expand: set):
     return mapper
 
 
+def make_mobiledet_mapper(backbone_params: dict):
+    """Backbone mapper for the reference MobileDet's flat auto-numbered
+    layers (conv2d_N / depthwise_conv2d_N / batch_normalization_N).
+
+    Our MobileDet names modules with ONE shared creation counter
+    (conv_3, bn_4, dwconv_5, ... — models/mobiledet.py _Ctx._name) in the
+    same forward order the reference creates its layers, so sorting our
+    module names by counter and numbering each KIND independently
+    reproduces the reference's auto-numbering exactly.
+    """
+    def kind_of(name):
+        return name.rsplit("_", 1)[0]
+
+    modules = sorted(backbone_params, key=lambda n: int(n.rsplit("_", 1)[1]))
+    keras_of = {}
+    counters = {"conv": 0, "dwconv": 0, "bn": 0}
+    base = {"conv": "conv2d", "dwconv": "depthwise_conv2d",
+            "bn": "batch_normalization"}
+    for name in modules:
+        kind = kind_of(name)
+        keras_of[name] = f"{base[kind]}{_suffix(counters[kind])}"
+        counters[kind] += 1
+
+    def mapper(parts):
+        mod, leaf = parts[0], parts[-1]
+        kname = keras_of[mod]
+        if kind_of(mod) == "bn":
+            return f"{kname}/{_LEAF_MAP_BN[leaf]}"
+        if kind_of(mod) == "dwconv" and leaf == "kernel":
+            return f"{kname}/depthwise_kernel"
+        return f"{kname}/{leaf}"
+
+    return mapper
+
+
 def flax_to_keras_name(path: str, backbone_mapper, min_level: int,
                        max_level: int):
     """Translate one Flax param/stat leaf path (e.g.
@@ -357,6 +392,8 @@ def transplant(params_cfg, keras_weights: dict, input_size: int):
             and ("expand_conv" in mods or "fused_conv" in mods)}
         backbone_mapper = make_efficientnet_mapper(bb_type,
                                                    blocks_with_expand)
+    elif bb_type.startswith("mobiledet"):
+        backbone_mapper = make_mobiledet_mapper(shapes["params"]["backbone"])
     else:
         raise NotImplementedError(f"no transplant mapper for {bb_type}")
     min_level = int(params_cfg.architecture.feature_fusion.min_level)
