@@ -56,27 +56,44 @@ def class_loss(targets: Dict[str, jnp.ndarray],
     """Summed focal loss over all levels; anchors with target == -2 are
     ignored (reference loss_impl.py:31-77).
 
-    PERF NOTE (measured, v5e 640x640 bs16): a gather-based reformulation
-    that avoids materializing the (B,H,W,A*K) one-hot made the step 26%
-    SLOWER — the gather's backward is a scatter, while the one-hot path
-    keeps a dense, fusable backward. Keeping the one-hot form.
+    Formulation: single-broadcast predicate-select. Instead of
+    materializing an f32 one-hot and comparing it (`y == 1.0`) in three
+    places, the positive-class predicate `tgt[..., None] == iota(K)` is
+    the ONLY expanded operand; CE, p_t and alpha_t are selected from it
+    inline. Algebraically identical to the one-hot sigmoid focal loss
+    (same loss value to the last bit on the flagship step).
+
+    PERF NOTES (measured on-chip, 640x640 bs16 full train step):
+      * one-hot form (round 1/2 baseline): 109.6-110.0 ms/step — XLA
+        materialized three (B,H,W,A,K) broadcasts in layout {2,4,3,1,0}
+        plus 1.17 ms/step relayout copies of their (B,H,W,A*K) bitcasts.
+      * this select form: 108.2-108.4 ms/step (one broadcast source).
+      * gather-based reformulation (avoids the expansion): 26% SLOWER —
+        gather's backward is a scatter.
+      * jax.checkpoint on the class loss: +2 ms (recompute isn't free —
+        this chip streams reads at ~125 GB/s; see tools/membw_experiments).
+      * Split the prediction's channel axis ((B,H,W,A*K) -> (B,H,W,A,K),
+        free bitcast of the MINOR dim) rather than merging the one-hot's.
     """
     total = 0.0
     for key, tgt in targets.items():
         b, h, w, a = tgt.shape
-        # Split the prediction's channel axis instead of merging the
-        # one-hot's: (B,H,W,A*K) -> (B,H,W,A,K) splits the MINOR dim and is
-        # a free bitcast, while reshaping the broadcast one-hot down to 4-D
-        # forced XLA to materialize + relayout it (measured 2.3 ms/step of
-        # pure layout copies at 640x640 bs16).
         logits = predictions[key].astype(jnp.float32).reshape(
             b, h, w, a, num_classes)
-        one_hot = jax.nn.one_hot(tgt.astype(jnp.int32), num_classes,
-                                 dtype=jnp.float32)
-        loss = sigmoid_focal_loss(logits, one_hot, alpha, gamma,
-                                  label_smoothing)
-        ignore = (tgt != -2.0).astype(jnp.float32)[..., None]
-        total = total + jnp.sum(loss * ignore)
+        pos = tgt[..., None] == jax.lax.broadcasted_iota(
+            jnp.float32, (1, 1, 1, 1, num_classes), 4)
+        # ce = softplus(l) - l * y_smooth with y_smooth selected from pos.
+        softplus = jnp.logaddexp(logits, 0.0)
+        ce = jnp.where(pos,
+                       softplus - logits * (1.0 - 0.5 * label_smoothing),
+                       softplus - logits * (0.5 * label_smoothing))
+        p = jax.nn.sigmoid(logits)
+        focal = jnp.where(
+            pos,
+            alpha * jnp.power(1.0 - p, gamma) * ce,
+            (1.0 - alpha) * jnp.power(p, gamma) * ce)
+        valid = (tgt != -2.0)[..., None]
+        total = total + jnp.sum(jnp.where(valid, focal, 0.0))
     return total
 
 

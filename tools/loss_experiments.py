@@ -1,0 +1,137 @@
+"""Class-loss formulation experiments on the real train step.
+
+Round-2 xplane profiling attributed ~12-15 ms of the ~108 ms step to the
+class-loss one-hot machinery: XLA materializes three [B,80,80,9,80]
+broadcasts in layout {2,4,3,1,0} (0.64 ms each), relayouts their
+[B,80,80,720] bitcasts to the logits' {3,0,2,1} (1.17 ms each), and the
+loss fusion saves a pred + an f32 [B,80,80,720] residual pair for the
+backward (~370 MB round-trip).
+
+Variants measured here (full train step, chained timing):
+  base : current one-hot form (losses.class_loss)
+  A    : single-broadcast pred-select form — one broadcast of the f32
+         target (vs 3), comparisons inline, mask folded into the select
+  B    : A + jax.checkpoint on the class loss (backward recomputes the
+         elementwise chain from bf16 logits instead of saving f32
+         residuals; the loss path is HBM-bound so recompute is ~free)
+  C    : B + jax.checkpoint on box loss too
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools/loss_experiments.py
+"""
+
+from __future__ import annotations
+
+import retinanet_tpu.core.cache  # noqa: F401
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from retinanet_tpu.losses import losses as losses_lib
+
+
+def class_loss_select(targets, predictions, num_classes, alpha, gamma,
+                      label_smoothing):
+    """Variant A: same math as losses.class_loss, one broadcast source.
+
+    focal = select(pos, alpha*(1-p)^g * ce, (1-alpha)*p^g * ce) with
+    ce = softplus(l) - l*y_smooth computed from the pos predicate inline;
+    the only expanded operand is the f32 target [B,H,W,A,1].
+    """
+    total = 0.0
+    for key, tgt in targets.items():
+        b, h, w, a = tgt.shape
+        logits = predictions[key].astype(jnp.float32).reshape(
+            b, h, w, a, num_classes)
+        tgt5 = tgt[..., None]
+        iota = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, 1,
+                                                      num_classes), 4)
+        pos = tgt5 == iota
+        y_smooth_pos = 1.0 - 0.5 * label_smoothing
+        y_smooth_neg = 0.5 * label_smoothing
+        softplus = jnp.logaddexp(logits, 0.0)
+        ce = jnp.where(pos, softplus - logits * y_smooth_pos,
+                       softplus - logits * y_smooth_neg)
+        p = jax.nn.sigmoid(logits)
+        focal = jnp.where(
+            pos,
+            alpha * jnp.power(1.0 - p, gamma) * ce,
+            (1.0 - alpha) * jnp.power(p, gamma) * ce)
+        valid = tgt5 != -2.0
+        total = total + jnp.sum(jnp.where(valid, focal, 0.0))
+    return total
+
+
+def main():
+    from __graft_entry__ import _flagship_params
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.data.label_encoder import make_batched_encoder
+    from retinanet_tpu.data.preprocessing import make_device_normalizer
+    from retinanet_tpu.data.synthetic import synthetic_train_batch
+    from retinanet_tpu.models.retinanet import build_model
+    from retinanet_tpu.optimizers.builder import build_optimizer
+    from retinanet_tpu.train import step as step_lib
+    from retinanet_tpu.train.train_state import create_train_state
+    from retinanet_tpu.utils.benchmark import chained_step_time
+
+    params = _flagship_params()
+    model = build_model(params)
+    anchors = anchor_lib.from_params(params)
+    encoder = make_batched_encoder(anchors, params.encoder_params)
+    normalizer = make_device_normalizer(params)
+    tx, schedule = build_optimizer(
+        params.training.optimizer, params.training.train_steps)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_train_batch(16, (640, 640), 100, 80, seed=0).items()}
+
+    results = {}
+    original_class_loss = losses_lib.class_loss
+
+    def run(name, class_loss_fn, ckpt_class=False, ckpt_box=False):
+        if ckpt_class:
+            base_cls = class_loss_fn
+
+            def class_loss_fn(t, p, n, a, g, s):  # noqa: F811
+                return jax.checkpoint(
+                    lambda tt, pp: base_cls(tt, pp, n, a, g, s))(t, p)
+        losses_lib.class_loss = class_loss_fn
+        original_box = losses_lib.box_loss
+        if ckpt_box:
+            losses_lib.box_loss = lambda t, p, d: jax.checkpoint(
+                lambda tt, pp: original_box(tt, pp, d))(t, p)
+        try:
+            loss_fn = losses_lib.RetinaNetLoss(80, params.loss)
+            step = jax.jit(
+                step_lib.make_train_step(
+                    model, loss_fn, encoder, normalizer, tx, schedule,
+                    use_weight_decay=True, weight_decay_alpha=1e-4,
+                    compute_dtype=jnp.bfloat16),
+                donate_argnums=(0,))
+            # donation consumes the state's buffers — fresh init per run
+            variables = jax.jit(lambda k: model.init(
+                k, jnp.zeros((1, 640, 640, 3)), train=False))(
+                    jax.random.PRNGKey(0))
+            state = create_train_state(variables, tx)
+            state, metrics = step(state, batch)
+            loss0 = float(metrics["total-loss"])
+            dt, state = chained_step_time(step, state, batch, iters=20)
+            results[name] = (dt * 1000, loss0)
+            print(f"{name:6s}  {dt*1000:7.2f} ms/step  loss0={loss0:.6f}  "
+                  f"imgs/s={16/dt:.1f}", flush=True)
+        finally:
+            losses_lib.class_loss = original_class_loss
+            losses_lib.box_loss = original_box
+
+    run("base", original_class_loss)
+    run("A", class_loss_select)
+    run("B", class_loss_select, ckpt_class=True)
+    run("C", class_loss_select, ckpt_class=True, ckpt_box=True)
+
+    print("\nsummary:")
+    for name, (ms, loss0) in results.items():
+        print(f"  {name:6s} loss0={loss0:.6f}")
+
+
+if __name__ == "__main__":
+    main()
