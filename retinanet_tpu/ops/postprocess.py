@@ -34,9 +34,69 @@ NMS_MODES = ("CombinedNMS", "GlobalSoftNMS", "GlobalHardNMS",
              "PerClassSoftNMS", "PerClassHardNMS")
 
 
+def _orderable_u16(x_bf16: jnp.ndarray) -> jnp.ndarray:
+    """Monotone bf16 -> u16 bit mapping (finite inputs): integer order
+    equals float order. Positive: set the sign bit; negative: invert."""
+    bits = jax.lax.bitcast_convert_type(x_bf16, jnp.uint16)
+    return jnp.where((bits >> 15) == 0,
+                     bits | jnp.uint16(0x8000),
+                     jnp.bitwise_not(bits))
+
+
+def _unorderable_u16(ubits: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _orderable_u16."""
+    bits = jnp.where((ubits & jnp.uint16(0x8000)) != 0,
+                     ubits & jnp.uint16(0x7FFF),
+                     jnp.bitwise_not(ubits))
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+
+
+def approx_max_k_packed(scores: jnp.ndarray, k: int,
+                        recall_target: float = 0.95):
+    """approx_max_k for bf16 with a single-key packed winner sort.
+
+    jax.lax.approx_max_k(aggregate_to_topk=True) finishes with an XLA
+    variadic (value, s32 index) pair sort over the (…, L≈9600) bin
+    winners — every operand rides the whole sorting network. Packing
+    the orderable bf16 bits and the bin position into ONE u32 key
+    (value-major, inverted position minor so ties prefer the lower
+    index, matching lax.top_k) sorts a single array instead:
+    measured 3.85 ms vs 5.49 ms for the (8, 80, 76725)->256 serving
+    selection, with equal-or-better recall (tools/topk_experiments.py).
+
+    Falls back to plain approx_max_k when the input isn't bf16 or the
+    bin count exceeds the 16-bit position budget.
+    """
+    if scores.dtype != jnp.bfloat16:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    vals, idx = jax.lax.approx_max_k(
+        scores, k, recall_target=recall_target, aggregate_to_topk=False)
+    length = vals.shape[-1]
+    if length > 65536 or length < k:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    axis = vals.ndim - 1
+    pos = jax.lax.broadcasted_iota(jnp.uint32, vals.shape, axis)
+    key = ((_orderable_u16(vals).astype(jnp.uint32) << 16)
+           | (jnp.uint32(0xFFFF) - pos))
+    skey = jax.lax.sort(key, dimension=axis, is_stable=False)
+    top = jax.lax.rev(skey[..., length - k:], (axis,))
+    pos_top = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))).astype(
+        jnp.int32)
+    top_idx = jnp.take_along_axis(idx, pos_top, axis=axis)
+    top_vals = _unorderable_u16((top >> 16).astype(jnp.uint16))
+    return top_vals, top_idx
+
+
 def fuse_predictions(predictions: Dict, min_level: int,
-                     max_level: int) -> Dict[str, jnp.ndarray]:
-    """Per-level (B,H,W,A*C) maps -> flat (B, total_anchors, C)."""
+                     max_level: int,
+                     logits_dtype=None) -> Dict[str, jnp.ndarray]:
+    """Per-level (B,H,W,A*C) maps -> flat (B, total_anchors, C).
+
+    `logits_dtype` (e.g. bf16) casts each level's class map BEFORE the
+    reshape/concat so the convert fuses into the head conv's epilogue and
+    every downstream marshalling copy moves half the bytes. Used by the
+    approx-top-k serving lane; exact/parity paths keep the head's f32.
+    """
     cls_preds = predictions["class-predictions"]
     box_preds = predictions["box-predictions"]
     first = str(min_level)
@@ -49,7 +109,10 @@ def fuse_predictions(predictions: Dict, min_level: int,
         key = str(level)
         b, h, w, _ = box_preds[key].shape
         n = h * w * anchors_per_loc
-        logits.append(cls_preds[key].reshape(batch, n, num_classes))
+        cls_map = cls_preds[key]
+        if logits_dtype is not None:
+            cls_map = cls_map.astype(logits_dtype)
+        logits.append(cls_map.reshape(batch, n, num_classes))
         boxes.append(box_preds[key].reshape(batch, n, 4))
     return {
         "class_logits": jnp.concatenate(logits, axis=1),
@@ -94,7 +157,7 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
     scores = detections["scores"]       # (B, A, C)
     boxes = detections["boxes"]         # (B, A, 4)
     b, num_anchors, num_classes = scores.shape
-    top_fn = (functools.partial(jax.lax.approx_max_k,
+    top_fn = (functools.partial(approx_max_k_packed,
                                 recall_target=recall_target)
               if approx else jax.lax.top_k)
 
@@ -112,6 +175,11 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
         # the remap gather costs more than the sort it saves. Detections
         # were verified identical to exact top-k on a trained model, but
         # the speed regressed; keeping single-stage.
+        # POSITIVE RESULT (round 2, later): for bf16 scores the variadic
+        # (value, index) winner sort is replaced by a single-key packed
+        # u32 sort (approx_max_k_packed above): 3.85 ms vs 5.49 ms for
+        # the same selection, equal-or-better recall. Combined with the
+        # bf16 serving lane: 27.0 -> 25.5 ms bs8 (296 -> 313 FPS).
         scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
         top_scores, idx = top_fn(scores_t, k)            # (B, C, k)
         # gather through a flattened index so XLA never materializes the
@@ -317,7 +385,18 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
         preds = model.apply(
             {"params": model_params, "batch_stats": batch_stats},
             images, train=False)
-        fused = fuse_predictions(preds, min_level, max_level)
+        # Approx lane: select on bf16 logits. The fused (B,~77k,C) tensor,
+        # its (B,C,A) transpose and the approx_max_k bin reduce + winner
+        # sort all move half the bytes; sigmoid runs in f32 on the k
+        # winners only. Selection can differ from exact f32 only among
+        # logits within one bf16 ulp of each other — the same
+        # far-below-visible tie class the approx algorithm itself
+        # reorders. Exact/parity runs (use_approx_top_k=false) keep f32
+        # end to end.
+        sel_dtype = jnp.bfloat16 if approx_topk else jnp.float32
+        fused = fuse_predictions(
+            preds, min_level, max_level,
+            logits_dtype=sel_dtype if not skip_decoding else None)
         if skip_decoding:
             return fused
         decoded = decode_detections(
@@ -331,10 +410,11 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
         # sigmoid applied only to the k survivors: avoids a transcendental
         # over the full (B, ~77k, C) score tensor.
         filtered = filter_top_k(
-            {"scores": fused["class_logits"].astype(jnp.float32),
+            {"scores": fused["class_logits"],
              "boxes": decoded["boxes"]},
             nms_k, bool(inf.filter_per_class), approx=approx_topk)
-        filtered["scores"] = jax.nn.sigmoid(filtered["scores"])
+        filtered["scores"] = jax.nn.sigmoid(
+            filtered["scores"].astype(jnp.float32))
         return generate_detections(
             filtered, mode=inf.mode, num_classes=num_classes,
             max_detections=int(inf.max_detections),

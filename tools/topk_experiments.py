@@ -1,0 +1,113 @@
+"""Pre-NMS per-class top-k variants, measured on-chip.
+
+The jitted serving path spends ~4-5 ms in approx_max_k's final winner
+sort — an XLA variadic (value, s32 index) pair sort over (B, C, ~9600).
+Variadic sorts move every operand through the whole sorting network; a
+single-array sort of a packed key should beat it:
+
+  key = orderable(bf16 value) << 16 | bin_position     (u32, descending)
+
+`orderable` maps bf16 bits to a monotone u16 (flip sign bit for
+positives, full invert for negatives) so integer order == float order
+(NaNs excluded by construction — logits are finite).
+
+Variants (shape: scores (8, 80, 76725) bf16, k=256):
+  agg      approx_max_k(..., aggregate_to_topk=True)   [current]
+  bins     approx_max_k(..., aggregate_to_topk=False)  [floor: no sort]
+  packed   bins -> pack u32 -> sort one array -> slice k -> unpack ->
+           take_along_axis global-idx remap
+  top_k32  bins -> f32 top_k(k) over winners -> remap
+
+Each variant reports ms/call and selection agreement vs exact top_k.
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools/topk_experiments.py
+"""
+
+from __future__ import annotations
+
+import retinanet_tpu.core.cache  # noqa: F401
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retinanet_tpu.utils.benchmark import device_time
+
+B, C, A, K = 8, 80, 76725, 256
+RECALL = 0.95
+
+
+def orderable_u16(x_bf16):
+    """Monotone bf16 -> u16 mapping (finite inputs)."""
+    bits = jax.lax.bitcast_convert_type(x_bf16, jnp.uint16)
+    # positive: set sign bit; negative: invert all bits
+    return jnp.where((bits >> 15) == 0,
+                     bits | jnp.uint16(0x8000),
+                     jnp.bitwise_not(bits))
+
+
+def variant_agg(scores):
+    return jax.lax.approx_max_k(scores, K, recall_target=RECALL)
+
+
+def variant_bins(scores):
+    return jax.lax.approx_max_k(scores, K, recall_target=RECALL,
+                                aggregate_to_topk=False)
+
+
+def variant_packed(scores):
+    vals, idx = variant_bins(scores)          # (B, C, L) bf16 / s32
+    L = vals.shape[-1]
+    assert L <= 65536, L
+    pos = jax.lax.broadcasted_iota(jnp.uint32, vals.shape, 2)
+    key = (orderable_u16(vals).astype(jnp.uint32) << 16) | (
+        jnp.uint32(0xFFFF) - pos.astype(jnp.uint32))
+    skey = jax.lax.sort(key, dimension=2, is_stable=False)
+    top = jax.lax.rev(skey[..., L - K:], (2,))
+    pos_top = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))).astype(
+        jnp.int32)
+    top_idx = jnp.take_along_axis(idx, pos_top, axis=2)
+    ubits = (top >> 16).astype(jnp.uint16)
+    bits = jnp.where((ubits & jnp.uint16(0x8000)) != 0,
+                     ubits & jnp.uint16(0x7FFF),
+                     jnp.bitwise_not(ubits))
+    top_vals = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    return top_vals, top_idx
+
+
+def variant_topk32(scores):
+    vals, idx = variant_bins(scores)
+    tv, tpos = jax.lax.top_k(vals.astype(jnp.float32), K)
+    return tv.astype(jnp.bfloat16), jnp.take_along_axis(idx, tpos, axis=2)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(B, C, A)) * 3.0, jnp.bfloat16)
+
+    exact_v, exact_i = jax.jit(lambda s: jax.lax.top_k(
+        s.astype(jnp.float32), K))(scores)
+    exact_i = np.asarray(exact_i)
+
+    for name, fn in [("agg", variant_agg), ("bins", variant_bins),
+                     ("packed", variant_packed),
+                     ("top_k32", variant_topk32)]:
+        jfn = jax.jit(fn)
+        out = jax.tree_util.tree_map(np.asarray, jfn(scores))
+        dt = device_time(lambda s: jfn(s), scores, iters=20)
+        if name == "bins":
+            print(f"{name:8s} {dt*1e3:7.2f} ms  (winners shape "
+                  f"{out[0].shape})", flush=True)
+            continue
+        got_i = out[1]
+        agree = np.mean([
+            len(np.intersect1d(got_i[b, c], exact_i[b, c])) / K
+            for b in range(B) for c in range(C)])
+        print(f"{name:8s} {dt*1e3:7.2f} ms  recall-vs-exact={agree:.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
