@@ -57,33 +57,44 @@ def approx_max_k_packed(scores: jnp.ndarray, k: int,
 
     jax.lax.approx_max_k(aggregate_to_topk=True) finishes with an XLA
     variadic (value, s32 index) pair sort over the (…, L≈9600) bin
-    winners — every operand rides the whole sorting network. Packing
-    the orderable bf16 bits and the bin position into ONE u32 key
-    (value-major, inverted position minor so ties prefer the lower
-    index, matching lax.top_k) sorts a single array instead:
-    measured 3.85 ms vs 5.49 ms for the (8, 80, 76725)->256 serving
-    selection, with equal-or-better recall (tools/topk_experiments.py).
+    winners — every operand rides the whole sorting network, and the
+    index operand later needs a relayout + remap gather (1.7 ms/step in
+    the serving profile). Instead, pack ONE u32 sort key per winner:
 
-    Falls back to plain approx_max_k when the input isn't bf16 or the
-    bin count exceeds the 16-bit position budget.
+        key = orderable(value) << idx_bits  |  (mask - global_index)
+
+    value-major so order follows the score; index inverted in the low
+    bits so ties prefer the lower index (lax.top_k semantics). After the
+    sort BOTH the index and the value unpack elementwise — no gather.
+    Measured vs aggregate_to_topk=True on (8, 80, 76725)->256: the pair
+    sort alone was 5.5 ms; this path's sort is 2.1 ms and the unpack is
+    fused (tools/topk_experiments.py).
+
+    Precision: the value keeps min(16, 32 - ceil(log2(A))) of the bf16's
+    16 bits — full precision up to A=65536 anchors; at COCO-640 scale
+    (A=76725, 17 index bits) the bf16 mantissa LSB is dropped, a
+    <=2^-8 relative logit quantization confined to this approx lane.
+    Falls back to plain approx_max_k for non-bf16 inputs or A > 2^17.
     """
-    if scores.dtype != jnp.bfloat16:
+    a = scores.shape[-1]
+    idx_bits = max(int(a - 1).bit_length(), 1)
+    if scores.dtype != jnp.bfloat16 or idx_bits > 17:
         return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     vals, idx = jax.lax.approx_max_k(
         scores, k, recall_target=recall_target, aggregate_to_topk=False)
     length = vals.shape[-1]
-    if length > 65536 or length < k:
+    if length < k:
         return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    drop = 16 - min(16, 32 - idx_bits)
+    mask = jnp.uint32((1 << idx_bits) - 1)
     axis = vals.ndim - 1
-    pos = jax.lax.broadcasted_iota(jnp.uint32, vals.shape, axis)
-    key = ((_orderable_u16(vals).astype(jnp.uint32) << 16)
-           | (jnp.uint32(0xFFFF) - pos))
+    key = (((_orderable_u16(vals).astype(jnp.uint32) >> drop) << idx_bits)
+           | (mask - idx.astype(jnp.uint32)))
     skey = jax.lax.sort(key, dimension=axis, is_stable=False)
     top = jax.lax.rev(skey[..., length - k:], (axis,))
-    pos_top = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))).astype(
-        jnp.int32)
-    top_idx = jnp.take_along_axis(idx, pos_top, axis=axis)
-    top_vals = _unorderable_u16((top >> 16).astype(jnp.uint16))
+    top_idx = (mask - (top & mask)).astype(jnp.int32)
+    top_vals = _unorderable_u16(
+        ((top >> idx_bits) << drop).astype(jnp.uint16))
     return top_vals, top_idx
 
 
@@ -177,15 +188,24 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
         # the speed regressed; keeping single-stage.
         # POSITIVE RESULT (round 2, later): for bf16 scores the variadic
         # (value, index) winner sort is replaced by a single-key packed
-        # u32 sort (approx_max_k_packed above): 3.85 ms vs 5.49 ms for
-        # the same selection, equal-or-better recall. Combined with the
-        # bf16 serving lane: 27.0 -> 25.5 ms bs8 (296 -> 313 FPS).
+        # u32 sort with the global index in the low bits
+        # (approx_max_k_packed above) — the index unpacks elementwise,
+        # killing both the pair sort (5.5 -> 2.1 ms) and the 1.7 ms
+        # remap gather. Combined with the bf16 serving lane:
+        # 27.0 -> 23.5 ms bs8 (296 -> 340 FPS).
         scores_t = jnp.swapaxes(scores, 1, 2)            # (B, C, A)
         top_scores, idx = top_fn(scores_t, k)            # (B, C, k)
         # gather through a flattened index so XLA never materializes the
         # (B, C, A, 4) broadcast of the class-agnostic boxes (~0.8 GB at
         # COCO scale)
         flat_idx = idx.reshape(b, num_classes * k)
+        # NEGATIVE RESULT (round 2): replacing this row gather with a
+        # one-hot MXU contraction (einsum "bka,bac->bkc" of the inline
+        # (B,C*k,A) compare against the boxes, precision=float32) beat
+        # the gather in isolation (1.46 vs 2.68 ms) but regressed the
+        # full serving program 23.5 -> 42.0 ms bs8 — inside the big
+        # program XLA materializes the one-hot operand instead of fusing
+        # it into the dot. Keeping the gather.
         top_boxes = jnp.take_along_axis(
             boxes, flat_idx[..., None], axis=1).reshape(
                 b, num_classes, k, 4)

@@ -83,6 +83,59 @@ def variant_topk32(scores):
     return tv.astype(jnp.bfloat16), jnp.take_along_axis(idx, tpos, axis=2)
 
 
+def variant_packed_idx(scores):
+    """15-bit value + 17-bit inverted GLOBAL index in one u32 key: the
+    index unpacks elementwise after the sort — no remap gather at all.
+    Costs the bf16 mantissa LSB (<=2^-8 relative logit error)."""
+    vals, idx = variant_bins(scores)
+    L = vals.shape[-1]
+    key = ((orderable_u16(vals).astype(jnp.uint32) >> 1) << 17) | (
+        jnp.uint32(0x1FFFF) - idx.astype(jnp.uint32))
+    skey = jax.lax.sort(key, dimension=2, is_stable=False)
+    top = jax.lax.rev(skey[..., L - K:], (2,))
+    top_idx = (jnp.uint32(0x1FFFF) - (top & jnp.uint32(0x1FFFF))).astype(
+        jnp.int32)
+    ubits = ((top >> 17) << 1).astype(jnp.uint16)
+    bits = jnp.where((ubits & jnp.uint16(0x8000)) != 0,
+                     ubits & jnp.uint16(0x7FFF),
+                     jnp.bitwise_not(ubits))
+    top_vals = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    return top_vals, top_idx
+
+
+def bench_box_gather():
+    """The (B,A,4) -> (B, C*k, 4) pre-NMS box gather, two formulations."""
+    from retinanet_tpu.utils.benchmark import device_time as dt
+    rng = np.random.default_rng(1)
+    boxes = jnp.asarray(rng.uniform(0, 1, (B, A, 4)), jnp.float32)
+    flat_idx = jnp.asarray(rng.integers(0, A, (B, C * K)), jnp.int32)
+
+    def rows(bx):
+        return jnp.take_along_axis(bx, flat_idx[..., None], axis=1)
+
+    def planes(bx):
+        bx_t = jnp.swapaxes(bx, 1, 2)                      # (B, 4, A)
+        return jnp.take_along_axis(
+            bx_t, flat_idx[:, None, :], axis=2)            # (B, 4, C*k)
+
+    def onehot_dot(bx):
+        # (C*k, A) one-hot built inline per batch as bf16, contracted on
+        # the MXU against the (A, 4) boxes
+        oh = (flat_idx[..., None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2))
+        return jnp.einsum("bka,bac->bkc", oh.astype(jnp.bfloat16),
+                          bx.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    for name, fn in [("rows", rows), ("planes", planes),
+                     ("onehot_dot", onehot_dot)]:
+        jf = jax.jit(fn)
+        out = np.asarray(jf(boxes), np.float32)
+        sec = dt(lambda b: jf(b), boxes, iters=20)
+        print(f"box-gather/{name:11s} {sec*1e3:7.2f} ms  out{out.shape}",
+              flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     scores = jnp.asarray(rng.normal(size=(B, C, A)) * 3.0, jnp.bfloat16)
@@ -93,6 +146,7 @@ def main():
 
     for name, fn in [("agg", variant_agg), ("bins", variant_bins),
                      ("packed", variant_packed),
+                     ("packed_idx", variant_packed_idx),
                      ("top_k32", variant_topk32)]:
         jfn = jax.jit(fn)
         out = jax.tree_util.tree_map(np.asarray, jfn(scores))
@@ -105,8 +159,14 @@ def main():
         agree = np.mean([
             len(np.intersect1d(got_i[b, c], exact_i[b, c])) / K
             for b in range(B) for c in range(C)])
-        print(f"{name:8s} {dt*1e3:7.2f} ms  recall-vs-exact={agree:.4f}",
-              flush=True)
+        # value error vs the true score at the reported index
+        xs = np.asarray(scores, np.float32)
+        true_vals = np.take_along_axis(xs, got_i, axis=2)
+        verr = np.max(np.abs(np.asarray(out[0], np.float32) - true_vals))
+        print(f"{name:10s} {dt*1e3:7.2f} ms  recall-vs-exact={agree:.4f}"
+              f"  max-value-err={verr:.5f}", flush=True)
+
+    bench_box_gather()
 
 
 if __name__ == "__main__":
