@@ -101,3 +101,35 @@ def test_moving_average_normalizer():
                           normalizer_ema=jnp.float32(0.0))
     # ema = 0 * 0.99 + 10 * 0.01
     np.testing.assert_allclose(float(ema), 0.1, rtol=1e-6)
+
+
+def test_class_loss_analytic_vjp_matches_autodiff():
+    """class_loss ships a hand-derived backward (no full-size residuals);
+    pin it against autodiff of the same forward expression."""
+    import jax
+    from retinanet_tpu.losses.losses import class_loss, sigmoid_focal_loss
+
+    rng = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(rng)
+    nc = 8
+    targets = {"3": jnp.asarray(
+        jax.random.randint(k1, (2, 4, 4, 9), -2, nc), jnp.float32)}
+    preds = {"3": jax.random.normal(k2, (2, 4, 4, 9 * nc), jnp.float32) * 3}
+
+    for ls in (0.0, 0.1):
+        def via_onehot(p):
+            tgt = targets["3"]
+            logits = p["3"].reshape(2, 4, 4, 9, nc)
+            one_hot = jax.nn.one_hot(tgt.astype(jnp.int32), nc)
+            loss = sigmoid_focal_loss(logits, one_hot, 0.25, 1.5, ls)
+            ignore = (tgt != -2.0).astype(jnp.float32)[..., None]
+            return jnp.sum(loss * ignore)
+
+        def via_class_loss(p):
+            return class_loss(targets, p, nc, 0.25, 1.5, ls)
+
+        v1, g1 = jax.value_and_grad(via_onehot)(preds)
+        v2, g2 = jax.value_and_grad(via_class_loss)(preds)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1["3"]), np.asarray(g2["3"]),
+                                   atol=2e-5)
