@@ -46,10 +46,16 @@ class AnchorGenerator:
         self.scales = [float(s) for s in scales]
         self.num_anchors = len(self.aspect_ratios) * len(self.scales)
 
-        if len(self.areas) != max_level - min_level + 1:
+        num_levels = max_level - min_level + 1
+        if len(self.areas) < num_levels:
             raise ValueError(
                 f"Need one area per level: {len(self.areas)} areas for "
                 f"levels {min_level}..{max_level}")
+        # The reference indexes areas[level - min_level] and silently
+        # ignores trailing extras (anchor_generator.py:84 wh lookup) —
+        # the shipped mobiledet-448 configs rely on this (5 areas,
+        # levels 3..6). Keep the prefix for parity.
+        self.areas = self.areas[:num_levels]
 
         self.strides = [2 ** lvl for lvl in range(min_level, max_level + 1)]
         self.feature_shapes = [

@@ -125,16 +125,19 @@ def class_loss(targets: Dict[str, jnp.ndarray],
     def bwd(res, g):
         t_all, p_all = res
         dpred = {}
-        for key, tgt in t_all.items():
+        for key, pred in p_all.items():   # every predictions key gets a
+            if key not in t_all:          # cotangent, zero if untouched
+                dpred[key] = jnp.zeros_like(pred)
+                continue
+            tgt = t_all[key]
             b, h, w, a = tgt.shape
-            _, pos, ce, p, valid = _pieces(tgt, p_all[key])
+            _, pos, ce, p, valid = _pieces(tgt, pred)
             dneg = (1.0 - alpha) * jnp.power(p, gamma) * (
                 gamma * (1.0 - p) * ce + p - 0.5 * ls)
             dpos = alpha * jnp.power(1.0 - p, gamma) * (
                 -gamma * p * ce + p - 1.0 + 0.5 * ls)
             d = jnp.where(valid, jnp.where(pos, dpos, dneg), 0.0)
-            dpred[key] = (g * d).reshape(b, h, w, a * nc).astype(
-                p_all[key].dtype)
+            dpred[key] = (g * d).reshape(b, h, w, a * nc).astype(pred.dtype)
         return (jax.tree_util.tree_map(jnp.zeros_like, t_all), dpred)
 
     cv.defvjp(fwd, bwd)

@@ -413,10 +413,13 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
         # far-below-visible tie class the approx algorithm itself
         # reorders. Exact/parity runs (use_approx_top_k=false) keep f32
         # end to end.
-        sel_dtype = jnp.bfloat16 if approx_topk else jnp.float32
+        # The bf16 cast only applies on the full serving lane where the
+        # approx selection actually runs; export lanes (skip_decoding /
+        # skip_nms) keep the head's f32 end to end.
+        approx_lane = approx_topk and not skip_decoding and not skip_nms
         fused = fuse_predictions(
             preds, min_level, max_level,
-            logits_dtype=sel_dtype if not skip_decoding else None)
+            logits_dtype=jnp.bfloat16 if approx_lane else None)
         if skip_decoding:
             return fused
         decoded = decode_detections(
@@ -432,7 +435,8 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
         filtered = filter_top_k(
             {"scores": fused["class_logits"],
              "boxes": decoded["boxes"]},
-            nms_k, bool(inf.filter_per_class), approx=approx_topk)
+            nms_k, bool(inf.filter_per_class), approx=approx_topk,
+            recall_target=recall_target)
         filtered["scores"] = jax.nn.sigmoid(
             filtered["scores"].astype(jnp.float32))
         return generate_detections(

@@ -109,3 +109,48 @@ def test_approx_lane_output_contract():
         assert np.all(out["classes"][b][v:] == -1)
         assert np.all((out["boxes"][b][:v] >= 0) & (out["boxes"][b][:v] <= 1))
         assert np.all(np.diff(out["scores"][b][:v]) <= 1e-6)
+
+
+def test_skip_nms_export_lane_keeps_f32_scores():
+    """Export lanes (skip_nms / skip_decoding) must not inherit the
+    approx lane's bf16 logits cast: with approx on or off their outputs
+    are identical."""
+    outs = {}
+    for approx in (True, False):
+        params = _params()
+        params.inference["use_approx_top_k"] = approx
+        model = _PlantedModel()
+        anchors = anchor_lib.from_params(params)
+        normalizer = make_device_normalizer(params)
+        infer = jax.jit(make_inference_fn(
+            model, params, anchors, normalizer,
+            compute_dtype=jnp.float32, skip_nms=True))
+        outs[approx] = jax.tree_util.tree_map(
+            np.asarray, infer({}, {}, jnp.zeros((2, 64, 64, 3))))
+    for key in outs[True]:
+        np.testing.assert_array_equal(outs[True][key], outs[False][key])
+
+
+def test_recall_target_reaches_selection(monkeypatch):
+    """inference.approx_recall_target must be threaded into the packed
+    selection (it was read but dropped before the fix)."""
+    from retinanet_tpu.ops import postprocess as pp
+
+    seen = {}
+    real = pp.approx_max_k_packed
+
+    def spy(scores, k, recall_target=0.95):
+        seen["recall"] = recall_target
+        return real(scores, k, recall_target=recall_target)
+
+    monkeypatch.setattr(pp, "approx_max_k_packed", spy)
+    params = _params()
+    params.inference["use_approx_top_k"] = True
+    params.inference["approx_recall_target"] = 0.99
+    model = _PlantedModel()
+    anchors = anchor_lib.from_params(params)
+    normalizer = make_device_normalizer(params)
+    infer = make_inference_fn(model, params, anchors, normalizer,
+                              compute_dtype=jnp.float32)
+    infer({}, {}, jnp.zeros((2, 64, 64, 3)))
+    assert seen.get("recall") == 0.99

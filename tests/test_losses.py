@@ -133,3 +133,19 @@ def test_class_loss_analytic_vjp_matches_autodiff():
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g1["3"]), np.asarray(g2["3"]),
                                    atol=2e-5)
+
+
+def test_class_loss_grad_with_extra_prediction_level():
+    """Predictions may carry levels absent from the targets (e.g. a
+    frozen/aux head); the custom VJP must return zero cotangents for
+    them instead of failing structure checks."""
+    import jax
+    from retinanet_tpu.losses.losses import class_loss
+
+    rng = jax.random.PRNGKey(0)
+    targets = {"3": jnp.zeros((1, 2, 2, 9), jnp.float32) - 1.0}
+    preds = {"3": jax.random.normal(rng, (1, 2, 2, 9 * 8), jnp.float32),
+             "4": jax.random.normal(rng, (1, 1, 1, 9 * 8), jnp.float32)}
+    g = jax.grad(lambda p: class_loss(targets, p, 8, 0.25, 1.5, 0.0))(preds)
+    assert g["3"].shape == preds["3"].shape
+    assert np.all(np.asarray(g["4"]) == 0.0)

@@ -11,10 +11,8 @@ from retinanet_tpu.ops.postprocess import (_orderable_u16, _unorderable_u16,
 
 def _finite_bf16_universe():
     bits = np.arange(65536, dtype=np.uint16)
-    vals = bits.view(jnp.bfloat16.dtype if hasattr(jnp.bfloat16, "dtype")
-                     else np.uint16)
-    vals = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.bfloat16)
-    vals = np.asarray(vals, dtype=np.float32)
+    vals = np.asarray(jax.lax.bitcast_convert_type(
+        jnp.asarray(bits), jnp.bfloat16), dtype=np.float32)
     finite = np.isfinite(vals)
     return jnp.asarray(bits[finite]), vals[finite]
 

@@ -39,13 +39,8 @@ B, C, A, K = 8, 80, 76725, 256
 RECALL = 0.95
 
 
-def orderable_u16(x_bf16):
-    """Monotone bf16 -> u16 mapping (finite inputs)."""
-    bits = jax.lax.bitcast_convert_type(x_bf16, jnp.uint16)
-    # positive: set sign bit; negative: invert all bits
-    return jnp.where((bits >> 15) == 0,
-                     bits | jnp.uint16(0x8000),
-                     jnp.bitwise_not(bits))
+from retinanet_tpu.ops.postprocess import (_orderable_u16 as orderable_u16,
+                                            _unorderable_u16)
 
 
 def variant_agg(scores):
@@ -69,11 +64,7 @@ def variant_packed(scores):
     pos_top = (jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))).astype(
         jnp.int32)
     top_idx = jnp.take_along_axis(idx, pos_top, axis=2)
-    ubits = (top >> 16).astype(jnp.uint16)
-    bits = jnp.where((ubits & jnp.uint16(0x8000)) != 0,
-                     ubits & jnp.uint16(0x7FFF),
-                     jnp.bitwise_not(ubits))
-    top_vals = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    top_vals = _unorderable_u16((top >> 16).astype(jnp.uint16))
     return top_vals, top_idx
 
 
@@ -95,11 +86,7 @@ def variant_packed_idx(scores):
     top = jax.lax.rev(skey[..., L - K:], (2,))
     top_idx = (jnp.uint32(0x1FFFF) - (top & jnp.uint32(0x1FFFF))).astype(
         jnp.int32)
-    ubits = ((top >> 17) << 1).astype(jnp.uint16)
-    bits = jnp.where((ubits & jnp.uint16(0x8000)) != 0,
-                     ubits & jnp.uint16(0x7FFF),
-                     jnp.bitwise_not(ubits))
-    top_vals = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    top_vals = _unorderable_u16(((top >> 17) << 1).astype(jnp.uint16))
     return top_vals, top_idx
 
 
