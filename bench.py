@@ -95,9 +95,13 @@ def main():
         write_synthetic_tfrecords(data_dir, "bench", num_shards=4,
                                   samples_per_shard=32)
     params.dataloader_params.tfrecords = {"train": pattern, "val": pattern}
-    # host-only rate (decode+preprocess+collate, no device in the loop)
+    # host-only rate (decode+preprocess+collate, no device in the loop).
+    # The worker pool needs several batches to reach steady state
+    # (measured: 1-batch warmup gave 35-200 imgs/s run to run; 4-batch
+    # warmup settles at ~185 on this 1-core host).
     host_iter = iter(InputPipeline("train", params, batch_size=train_bs))
-    next(host_iter)
+    for _ in range(4):
+        next(host_iter)
     t0 = time.time()
     for _ in range(8):
         next(host_iter)
@@ -107,6 +111,10 @@ def main():
     pipe_iter = iter(InputPipeline("train", params, batch_size=train_bs))
     warm = mesh_lib.shard_batch(next(pipe_iter), mesh)
     state, m = train_step(state, warm)  # uint8-input variant compile
+    float(m["total-loss"])
+    for _ in range(3):                  # pipeline worker-pool warmup
+        state, m = train_step(
+            state, mesh_lib.shard_batch(next(pipe_iter), mesh))
     float(m["total-loss"])
     n_e2e = 10
     t0 = time.time()
@@ -127,6 +135,26 @@ def main():
         images, iters=20)
     infer_fps = infer_bs / infer_dt
 
+    # ---- int8-activation serving (s8xs8->s32 convs on the MXU) -------------
+    # Speed-only here (minmax calibration on synthetic batches); the
+    # quality delta on a trained model is measured separately
+    # (tools/int8_quality_check.py: AP 0.7137 fp -> 0.7092 int8-entropy).
+    from retinanet_tpu.export.calibration import calibrate_activations
+    from retinanet_tpu.export.quantize import Int8Model
+    calib = [np.asarray(np.random.default_rng(i).uniform(
+        0, 255, (4, 640, 640, 3)), np.float32) for i in range(2)]
+    scales = calibrate_activations(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        calib, mode="minmax",
+        preprocess=lambda im: normalizer(im).astype(jnp.bfloat16))
+    infer_q = make_inference_fn(
+        Int8Model(model, scales), params, anchors, normalizer,
+        compute_dtype=jnp.bfloat16)
+    int8_dt = device_time(
+        lambda im: infer_q(state.params, state.batch_stats, im),
+        images, iters=20)
+    int8_fps = infer_bs / int8_dt
+
     print(json.dumps({
         "metric": "train images/sec/chip (640x640, bf16, full step)",
         "value": round(train_imgs_per_sec_per_chip, 2),
@@ -140,6 +168,7 @@ def main():
         "infer_fps_bs8": round(infer_fps, 1),
         "infer_fps_vs_target90": round(infer_fps / BASELINE_INFER_FPS, 3),
         "infer_latency_ms": round(infer_dt * 1000, 2),
+        "int8_infer_fps_bs8": round(int8_fps, 1),
         "input_bound_imgs_per_sec": round(e2e_imgs_per_sec, 1),
         # host pipeline alone (JPEG decode -> warpAffine preprocess ->
         # collate) on this sandbox's SINGLE core; the gap between this and
