@@ -110,6 +110,13 @@ def make_int8_conv_interceptor(scales: Dict[str, float],
 
     Prediction convs are excluded by default (kept fp32 for logit fidelity,
     the usual TRT practice of leaving heads unquantized).
+
+    NEGATIVE RESULT (round 2): excluding the 3-channel stem conv (the
+    TRT first-layer-fp rule) measured consistently SLOWER end to end
+    (21.0 vs 20.4 ms bs8 serving) — the xplane profile charges the int8
+    stem fusion more than the bf16 one, but the s8 image relayout copy
+    is half the bytes of the bf16 one it replaces, and the downstream
+    requantize disappears. Everything-but-heads quantized wins.
     """
     from flax import linen as nn
     from jax import lax
