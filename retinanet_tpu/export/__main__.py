@@ -86,11 +86,27 @@ def main(argv):
 
         h, w = (int(params.input.input_shape[0]),
                 int(params.input.input_shape[1]))
-        batches = [
-            synthetic_train_batch(2, (h, w), 20,
-                                  int(params.architecture.head.num_classes),
-                                  seed=i)["image"]
-            for i in range(FLAGS.calibration_batches)]
+        # Calibrate on the REAL data stream when the config points at
+        # tfrecords (the reference's TRT calibrator read training data,
+        # tensorrt/calibrator.py); synthetic scenes only as fallback.
+        batches = []
+        try:
+            from retinanet_tpu.data.pipeline import InputPipeline
+            pipe = iter(InputPipeline("val", params, batch_size=2))
+            for _ in range(FLAGS.calibration_batches):
+                batches.append(next(pipe)["image"])
+            del pipe
+            logging.info("calibrating on %d real val batches", len(batches))
+        except Exception as e:  # noqa: BLE001 - missing/unreadable data
+            logging.warning(
+                "val tfrecords unavailable (%s); calibrating on synthetic "
+                "scenes", e)
+            batches = [
+                synthetic_train_batch(
+                    2, (h, w), 20,
+                    int(params.architecture.head.num_classes),
+                    seed=i)["image"]
+                for i in range(FLAGS.calibration_batches)]
         variables = {"params": model_params,
                      "batch_stats": executor.state.batch_stats}
         scales = calibrate_activations(
