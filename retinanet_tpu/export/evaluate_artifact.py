@@ -26,6 +26,8 @@ flags.DEFINE_string("annotation_file", None, "COCO annotations json")
 flags.DEFINE_integer("limit", None, "Max images to evaluate")
 flags.DEFINE_boolean("remap_class_ids", True,
                      "Map contiguous ids back to COCO category ids")
+flags.DEFINE_boolean("use_int8_activations", False,
+                     "Serve through the artifact's int8-activation path")
 flags.DEFINE_boolean("use_stablehlo", False,
                      "Run through the frozen StableHLO graph")
 
@@ -35,13 +37,15 @@ def evaluate(artifact_dir: str,
              annotation_file: str,
              limit: Optional[int] = None,
              remap_class_ids: bool = True,
-             use_stablehlo: bool = False) -> Dict[str, float]:
+             use_stablehlo: bool = False,
+             use_int8_activations: bool = False) -> Dict[str, float]:
     from retinanet_tpu.eval.coco import COCOIndex
     from retinanet_tpu.eval.coco_evaluator import COCOEvaluator
     from retinanet_tpu.export.serving import load_artifact
     from retinanet_tpu.utils.image_utils import read_image
 
-    module = load_artifact(artifact_dir, use_stablehlo=use_stablehlo)
+    module = load_artifact(artifact_dir, use_stablehlo=use_stablehlo,
+                           use_int8_activations=use_int8_activations)
     params = module.params
     evaluator = COCOEvaluator(
         input_shape=params.input.input_shape,
@@ -97,7 +101,8 @@ def evaluate(artifact_dir: str,
 def main(argv):
     del argv
     evaluate(FLAGS.artifact_dir, FLAGS.image_dir, FLAGS.annotation_file,
-             FLAGS.limit, FLAGS.remap_class_ids, FLAGS.use_stablehlo)
+             FLAGS.limit, FLAGS.remap_class_ids, FLAGS.use_stablehlo,
+             FLAGS.use_int8_activations)
 
 
 if __name__ == "__main__":

@@ -64,10 +64,20 @@ def _mode_flags(mode: str) -> Tuple[bool, bool]:
 
 
 def build_serving_fn(params: ConfigDict,
-                     mode: str = "tf") -> Callable:
-    """Serving function (model_params, batch_stats, images) -> detections."""
+                     mode: str = "tf",
+                     int8_scales: Optional[Dict[str, float]] = None
+                     ) -> Callable:
+    """Serving function (model_params, batch_stats, images) -> detections.
+
+    `int8_scales` (activation-scale dict from calibrate_activations /
+    the artifact's activation_scales.json) switches the model to the
+    int8-activation compute path — the fastest serving lane on TPU
+    (~400 vs ~345 FPS bs8 at 640x640; see bench.py)."""
     skip_decoding, skip_nms = _mode_flags(mode)
     model = build_model(params)
+    if int8_scales:
+        from retinanet_tpu.export.quantize import Int8Model
+        model = Int8Model(model, int8_scales)
     anchors = anchor_lib.from_params(params)
     normalizer = make_device_normalizer(params)
     return make_inference_fn(
@@ -169,9 +179,23 @@ class ServingModule:
 
 
 def load_artifact(artifact_dir: str, mode: str = "tf",
-                  use_stablehlo: bool = False) -> ServingModule:
+                  use_stablehlo: bool = False,
+                  use_int8_activations: bool = False) -> ServingModule:
+    """`use_int8_activations` serves through the int8-activation path
+    using the artifact's activation_scales.json (written by
+    `python -m retinanet_tpu.export --int8_activations`)."""
     with open(os.path.join(artifact_dir, _CONFIG_FILE)) as f:
         params = from_dict(json.load(f))
+
+    int8_scales = None
+    if use_int8_activations:
+        spath = os.path.join(artifact_dir, "activation_scales.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"{spath} missing — export with --int8_activations to "
+                "serve the int8 path")
+        with open(spath) as f:
+            int8_scales = json.load(f)["scales"]
 
     model = build_model(params)
     h, w = params.input.input_shape
@@ -192,5 +216,6 @@ def load_artifact(artifact_dir: str, mode: str = "tf",
         with open(hlo_path, "rb") as f:
             exported = jax_export.deserialize(f.read())
 
-    return ServingModule(params, build_serving_fn(params, mode), state,
-                         exported)
+    return ServingModule(
+        params, build_serving_fn(params, mode, int8_scales=int8_scales),
+        state, exported)

@@ -110,3 +110,49 @@ def test_int8_serving_close_to_fp(tiny):
     q = qfn(variables["batch_stats"], images)
     assert np.abs(np.asarray(f["scores"]) -
                   np.asarray(q["scores"])).mean() < 0.05
+
+
+def test_load_artifact_int8_activation_lane(tmp_path, tiny):
+    """activation_scales.json written at export time must be servable:
+    load_artifact(use_int8_activations=True) builds the int8 compute path
+    and its detections stay close to the fp lane."""
+    import json
+
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.data.preprocessing import make_device_normalizer
+    from retinanet_tpu.export.calibration import calibrate_activations
+
+    params, variables = tiny
+    out = serving_lib.export_artifact(
+        params, variables["params"], variables["batch_stats"],
+        str(tmp_path), serialize_stablehlo=False)
+    del out
+    normalizer = make_device_normalizer(params)
+    batches = [np.random.default_rng(i).uniform(
+        0, 255, (2, 64, 64, 3)).astype(np.float32) for i in range(2)]
+    model = build_model(params)
+    scales = calibrate_activations(
+        model, {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]},
+        batches, mode="minmax",
+        preprocess=lambda im: normalizer(im).astype(jnp.float32))
+    with open(tmp_path / "activation_scales.json", "w") as f:
+        json.dump({"mode": "minmax", "scales": scales}, f)
+
+    module_q = serving_lib.load_artifact(str(tmp_path),
+                                         use_int8_activations=True)
+    module_f = serving_lib.load_artifact(str(tmp_path))
+    images = np.random.default_rng(0).uniform(
+        0, 255, (2, 64, 64, 3)).astype(np.float32)
+    det_q = module_q.run_inference(images)
+    det_f = module_f.run_inference(images)
+    assert det_q["boxes"].shape == det_f["boxes"].shape
+    # int8 quantization moves scores slightly but not wildly
+    assert float(np.abs(det_q["scores"] - det_f["scores"]).mean()) < 0.1
+    del anchor_lib
+
+    # missing scales file -> loud error
+    import pytest as _pytest
+    (tmp_path / "activation_scales.json").unlink()
+    with _pytest.raises(FileNotFoundError):
+        serving_lib.load_artifact(str(tmp_path), use_int8_activations=True)
