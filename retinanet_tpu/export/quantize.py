@@ -251,7 +251,7 @@ def int8_activation_report(model, params_cfg, anchors, normalizer,
 
     params = variables["params"]
     batch_stats = variables["batch_stats"]
-    ap_sum, score_mad, box_mad, n = 0.0, 0.0, 0.0, 0
+    ap_sum, score_mad, box_mad, n_ap, n_b = 0.0, 0.0, 0.0, 0, 0
     h, w = (int(params_cfg.input.input_shape[0]),
             int(params_cfg.input.input_shape[1]))
     for images in sample_batches:
@@ -263,14 +263,16 @@ def int8_activation_report(model, params_cfg, anchors, normalizer,
             min_score=float(params_cfg.inference.score_threshold))
         if ap >= 0:
             ap_sum += ap
-            n += 1
+            n_ap += 1
         score_mad += float(np.abs(f["scores"] - q["scores"]).mean())
         box_mad += float(np.abs(f["boxes"] - q["boxes"]).mean())
+        n_b += 1
     return {
         "num_calibrated_convs": len(scales),
-        "detection_agreement_ap": ap_sum / n if n else -1.0,
-        "mean_abs_score_diff": score_mad / max(n, 1),
-        "mean_abs_box_diff": box_mad / max(n, 1),
+        # -1 when no batch produced fp detections to agree against
+        "detection_agreement_ap": ap_sum / n_ap if n_ap else -1.0,
+        "mean_abs_score_diff": score_mad / max(n_b, 1),
+        "mean_abs_box_diff": box_mad / max(n_b, 1),
     }
 
 
