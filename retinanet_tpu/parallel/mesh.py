@@ -72,13 +72,21 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
     on a leading scan axis: shape (steps, batch, ...) shards axis 1.
     """
     n_dev = mesh.shape[axis_name]
+    # Divisibility is a PER-PROCESS property: each process contributes its
+    # local shard, which must split over its local share of the mesh
+    # (n_dev/process_count devices). Checking the local shape against the
+    # GLOBAL device count silently demoted legitimate shardings to
+    # replication whenever local_batch < n_dev — with distinct per-process
+    # data feeding a "replicated" array (caught by
+    # tools/multiprocess_smoke.py's real 2-process run).
+    per_process_div = max(1, n_dev // jax.process_count())
 
     def _put(x):
         x = np.asarray(x)
         axis = leading_dims
         # batches indivisible by the mesh (e.g. a small eval batch) fall
         # back to replication rather than failing the sharding constraint
-        if x.ndim <= axis or x.shape[axis] % n_dev != 0:
+        if x.ndim <= axis or x.shape[axis] % per_process_div != 0:
             spec = P()
             axis = None
         else:

@@ -1,0 +1,174 @@
+"""TRUE multi-process distributed smoke: 2 JAX processes, one global mesh.
+
+The multi-host mechanisms (mesh bring-up, per-process batch assembly,
+the exactly-once eval-slice invariant, cross-process collectives) are
+unit-tested against mocked layouts in tests/; this harness runs them for
+real: the parent spawns two processes that each own 4 virtual CPU
+devices, `jax.distributed.initialize` stitches them into one 8-device
+platform, and both run the SAME jitted SPMD program over a global batch
+assembled from distinct per-process shards.
+
+Checks:
+  * global device/process topology (8 devices, 2 processes)
+  * psum over the mesh sees every process's contribution exactly once
+  * shard_global_batch + process_allgather round-trips the deterministic
+    global batch with no duplication (the multi-host eval invariant)
+  * a real (tiny) train step produces a finite loss, bit-identical on
+    both processes
+
+Usage: PYTHONPATH=. python tools/multiprocess_smoke.py        # parent
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PORT = int(os.environ.get("MPSMOKE_PORT", "38571"))
+
+
+def child(process_id: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older/newer jax: default implementation
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=2, process_id=process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from retinanet_tpu.parallel import mesh as mesh_lib
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    mesh = mesh_lib.create_mesh()
+
+    # 1. psum sees each process once
+    local = np.full((4, 1), float(process_id + 1), np.float32)  # 4 local dev
+    arr = mesh_lib.shard_batch({"x": local}, mesh)["x"]
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    t = float(total(arr))
+    assert t == 4 * 1.0 + 4 * 2.0, t  # procs contribute 4x1 and 4x2
+
+    # 2. exactly-once eval-slice invariant
+    full = np.arange(16, dtype=np.float32).reshape(16, 1)  # same everywhere
+    garr = mesh_lib.shard_global_batch({"x": full}, mesh)["x"]
+    gathered = multihost_utils.process_allgather(garr, tiled=True)
+    np.testing.assert_array_equal(np.sort(gathered.ravel()),
+                                  np.arange(16, dtype=np.float32))
+
+    # 3. real tiny train step over the global mesh
+    from retinanet_tpu.core.config import from_dict
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.data.label_encoder import make_batched_encoder
+    from retinanet_tpu.data.preprocessing import make_device_normalizer
+    from retinanet_tpu.data.synthetic import synthetic_train_batch
+    from retinanet_tpu.losses.losses import RetinaNetLoss
+    from retinanet_tpu.models.retinanet import build_model
+    from retinanet_tpu.optimizers.builder import build_optimizer
+    from retinanet_tpu.train import step as step_lib
+    from retinanet_tpu.train.train_state import create_train_state
+
+    params = from_dict({
+        "experiment": {"name": "mp"},
+        "input": {"input_shape": [64, 64], "channels": 3},
+        "floatx": {"precision": "float32"},
+        "architecture": {
+            "backbone": {"type": "resnet", "depth": 10},
+            "feature_fusion": {"type": "fpn", "filters": 16, "min_level": 3,
+                               "max_level": 5, "backbone_max_level": 5},
+            "head": {"num_convs": 1, "filters": 16, "num_classes": 4,
+                     "num_anchors": 9},
+        },
+        "anchor_params": {"areas": [1024.0, 4096.0, 16384.0],
+                          "aspect_ratios": [0.5, 1.0, 2.0],
+                          "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
+        "training": {
+            "train_steps": 10,
+            "batch_size": {"train": 8, "val": 8},
+            "optimizer": {
+                "name": "sgd", "momentum": 0.9, "clipnorm": 10.0,
+                "lr_params": {"schedule_type": "cosine_decay",
+                              "initial_learning_rate": 0.01,
+                              "warmup_learning_rate": 0.001,
+                              "warmup_steps": 2}},
+        },
+    })
+    model = build_model(params)
+    encoder = make_batched_encoder(
+        anchor_lib.from_params(params), params.encoder_params)
+    normalizer = make_device_normalizer(params)
+    loss_fn = RetinaNetLoss(4, params.loss)
+    tx, schedule = build_optimizer(
+        params.training.optimizer, params.training.train_steps)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    state = jax.device_put(create_train_state(variables, tx),
+                           mesh_lib.replicated(mesh))
+    train_step = jax.jit(step_lib.make_train_step(
+        model, loss_fn, encoder, normalizer, tx, schedule,
+        use_weight_decay=True, weight_decay_alpha=1e-4,
+        compute_dtype=jnp.float32), donate_argnums=(0,))
+
+    # each process contributes its DISTINCT local half of the global batch
+    gb = synthetic_train_batch(8, (64, 64), 10, 4, seed=7)
+    local_batch = {k: mesh_lib.process_slice(np.asarray(v),
+                                             jax.process_index(), 2)
+                   for k, v in gb.items()}
+    batch = mesh_lib.shard_batch(local_batch, mesh)
+    state, metrics = train_step(state, batch)
+    loss = float(metrics["total-loss"])
+    assert np.isfinite(loss), loss
+    print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
+          f"loss={loss:.6f}", flush=True)
+
+
+def parent() -> None:
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": os.getcwd() + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, str(i)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append((p.returncode, out))
+    ok = all(rc == 0 for rc, _ in outs)
+    losses = set()
+    for rc, out in outs:
+        tail = [ln for ln in out.strip().splitlines() if "loss=" in ln]
+        print(out.strip().splitlines()[-1] if out.strip() else "(no output)")
+        for ln in tail:
+            losses.add(ln.split("loss=")[1])
+    if not ok:
+        for rc, out in outs:
+            if rc != 0:
+                print("=== child failure ===")
+                print(out[-3000:])
+        sys.exit(1)
+    assert len(losses) == 1, f"losses differ across processes: {losses}"
+    print("MULTIPROCESS SMOKE OK (2 procs x 4 devices, identical loss)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        child(int(sys.argv[1]))
+    else:
+        parent()
