@@ -473,9 +473,14 @@ class Executor:
             if jax.process_count() > 1:
                 # cross-host gather (reference strategy.gather,
                 # executor.py:393-399); returns the full global batch's
-                # detections on every process
+                # detections on every process. tiled=True is REQUIRED for
+                # global (non-fully-addressable) arrays — the default
+                # raises at runtime; caught by the real 2-process harness
+                # (tools/multiprocess_smoke.py), which the mocked layout
+                # tests could not.
                 from jax.experimental import multihost_utils
-                detections = multihost_utils.process_allgather(detections)
+                detections = multihost_utils.process_allgather(
+                    detections, tiled=True)
             else:
                 detections = jax.device_get(detections)
             if is_chief:

@@ -15,6 +15,11 @@ Checks:
     global batch with no duplication (the multi-host eval invariant)
   * a real (tiny) train step produces a finite loss, bit-identical on
     both processes
+  * the Executor's eval gather sequence (shard_global_batch -> jitted
+    inference -> process_allgather) — this check caught TWO real bugs
+    the mocked layouts couldn't: shard_batch's global-vs-local
+    divisibility fallback, and process_allgather requiring tiled=True
+    for global arrays (the default raises on a real pod)
 
 Usage: PYTHONPATH=. python tools/multiprocess_smoke.py        # parent
 """
@@ -131,8 +136,35 @@ def child(process_id: int) -> None:
     state, metrics = train_step(state, batch)
     loss = float(metrics["total-loss"])
     assert np.isfinite(loss), loss
+
+    # 4. the Executor's multi-host eval gather sequence, verbatim:
+    # identical deterministic val batch on every host -> each contributes
+    # its 1/P slice -> jitted inference over the global batch ->
+    # process_allgather -> chief receives one detection set per image
+    from retinanet_tpu.ops.postprocess import make_inference_fn
+    infer = jax.jit(make_inference_fn(
+        model, params, anchor_lib.from_params(params), normalizer,
+        compute_dtype=jnp.float32))
+    val = synthetic_train_batch(8, (64, 64), 10, 4, seed=11)  # same seed
+    gimages = mesh_lib.shard_global_batch(
+        {"image": np.asarray(val["image"])}, mesh)["image"]
+    dets = infer(state.params, state.batch_stats, gimages)
+    # tiled=True: required for global arrays (the executor does the same;
+    # the tiled=False default RAISES here — a real-runtime behavior the
+    # mocked multi-host tests could not observe)
+    dets = multihost_utils.process_allgather(dets, tiled=True)
+    md = int(params.inference.max_detections)
+    assert dets["boxes"].shape == (8, md, 4), dets["boxes"].shape
+    assert dets["valid_detections"].shape == (8,)
+    assert np.all(np.isfinite(dets["scores"]))
+    # chief-only accumulation is exercised at the executor level by
+    # tests/test_executor.py; here the contract is: every process holds
+    # the SAME global detections after the gather
+    digest = float(np.sum(dets["scores"])) + float(
+        np.sum(dets["valid_detections"]))
+
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"loss={loss:.6f}", flush=True)
+          f"loss={loss:.6f} evaldigest={digest:.6f}", flush=True)
 
 
 def parent() -> None:
@@ -156,7 +188,7 @@ def parent() -> None:
         tail = [ln for ln in out.strip().splitlines() if "loss=" in ln]
         print(out.strip().splitlines()[-1] if out.strip() else "(no output)")
         for ln in tail:
-            losses.add(ln.split("loss=")[1])
+            losses.add(ln.split("loss=")[1])  # includes the eval digest
     if not ok:
         for rc, out in outs:
             if rc != 0:
