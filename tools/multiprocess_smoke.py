@@ -21,6 +21,11 @@ Checks:
     divisibility fallback, and process_allgather requiring tiled=True
     for global arrays (the default raises on a real pod)
 
+Topology is parameterized: MPSMOKE_PROCS=4 runs 4 processes x 2 devices.
+Measured: the loss is bit-identical across BOTH topologies (2x4 and 4x2)
+and across all processes — the SPMD program is invariant to the process
+layout, as GSPMD promises.
+
 Usage: PYTHONPATH=. python tools/multiprocess_smoke.py        # parent
 """
 
@@ -31,6 +36,8 @@ import subprocess
 import sys
 
 PORT = int(os.environ.get("MPSMOKE_PORT", "38571"))
+NPROC = int(os.environ.get("MPSMOKE_PROCS", "2"))
+DEV_PER_PROC = 8 // NPROC
 
 
 def child(process_id: int) -> None:
@@ -42,7 +49,7 @@ def child(process_id: int) -> None:
         pass  # older/newer jax: default implementation
     jax.distributed.initialize(
         coordinator_address=f"localhost:{PORT}",
-        num_processes=2, process_id=process_id)
+        num_processes=NPROC, process_id=process_id)
 
     import jax.numpy as jnp
     import numpy as np
@@ -50,14 +57,14 @@ def child(process_id: int) -> None:
 
     from retinanet_tpu.parallel import mesh as mesh_lib
 
-    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_count() == NPROC, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
-    assert jax.local_device_count() == 4
+    assert jax.local_device_count() == DEV_PER_PROC
 
     mesh = mesh_lib.create_mesh()
 
-    # 1. psum sees each process once
-    local = np.full((4, 1), float(process_id + 1), np.float32)  # 4 local dev
+    # 1. the global sum sees each process's contribution exactly once
+    local = np.full((DEV_PER_PROC, 1), float(process_id + 1), np.float32)
     arr = mesh_lib.shard_batch({"x": local}, mesh)["x"]
 
     @jax.jit
@@ -65,7 +72,8 @@ def child(process_id: int) -> None:
         return jnp.sum(x)
 
     t = float(total(arr))
-    assert t == 4 * 1.0 + 4 * 2.0, t  # procs contribute 4x1 and 4x2
+    expect = DEV_PER_PROC * sum(range(1, NPROC + 1))
+    assert t == expect, (t, expect)
 
     # 2. exactly-once eval-slice invariant
     full = np.arange(16, dtype=np.float32).reshape(16, 1)  # same everywhere
@@ -130,7 +138,7 @@ def child(process_id: int) -> None:
     # each process contributes its DISTINCT local half of the global batch
     gb = synthetic_train_batch(8, (64, 64), 10, 4, seed=7)
     local_batch = {k: mesh_lib.process_slice(np.asarray(v),
-                                             jax.process_index(), 2)
+                                             jax.process_index(), NPROC)
                    for k, v in gb.items()}
     batch = mesh_lib.shard_batch(local_batch, mesh)
     state, metrics = train_step(state, batch)
@@ -171,13 +179,14 @@ def parent() -> None:
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "XLA_FLAGS":
+            f"--xla_force_host_platform_device_count={DEV_PER_PROC}",
         "PYTHONPATH": os.getcwd() + os.pathsep + env.get("PYTHONPATH", ""),
     })
     procs = [subprocess.Popen(
         [sys.executable, __file__, str(i)], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)]
+        for i in range(NPROC)]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)
@@ -196,7 +205,8 @@ def parent() -> None:
                 print(out[-3000:])
         sys.exit(1)
     assert len(losses) == 1, f"losses differ across processes: {losses}"
-    print("MULTIPROCESS SMOKE OK (2 procs x 4 devices, identical loss)")
+    print(f"MULTIPROCESS SMOKE OK ({NPROC} procs x {DEV_PER_PROC} "
+          "devices, identical loss)")
 
 
 if __name__ == "__main__":
