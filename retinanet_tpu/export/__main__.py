@@ -96,17 +96,26 @@ def main(argv):
             for _ in range(FLAGS.calibration_batches):
                 batches.append(next(pipe)["image"])
             del pipe
-            logging.info("calibrating on %d real val batches", len(batches))
         except Exception as e:  # noqa: BLE001 - missing/unreadable data
-            logging.warning(
-                "val tfrecords unavailable (%s); calibrating on synthetic "
-                "scenes", e)
-            batches = [
-                synthetic_train_batch(
-                    2, (h, w), 20,
-                    int(params.architecture.head.num_classes),
-                    seed=i)["image"]
-                for i in range(FLAGS.calibration_batches)]
+            if batches:
+                # keep whatever real batches were read before the error —
+                # partial real data beats synthetic scenes
+                logging.warning(
+                    "val stream failed after %d batches (%s: %s); "
+                    "calibrating on the real batches read so far",
+                    len(batches), type(e).__name__, e)
+            else:
+                logging.warning(
+                    "val tfrecords unavailable (%s: %s); calibrating on "
+                    "synthetic scenes", type(e).__name__, e)
+                batches = [
+                    synthetic_train_batch(
+                        2, (h, w), 20,
+                        int(params.architecture.head.num_classes),
+                        seed=i)["image"]
+                    for i in range(FLAGS.calibration_batches)]
+        else:
+            logging.info("calibrating on %d real val batches", len(batches))
         variables = {"params": model_params,
                      "batch_stats": executor.state.batch_stats}
         scales = calibrate_activations(

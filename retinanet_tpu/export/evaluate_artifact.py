@@ -44,6 +44,11 @@ def evaluate(artifact_dir: str,
     from retinanet_tpu.export.serving import load_artifact
     from retinanet_tpu.utils.image_utils import read_image
 
+    if use_stablehlo and use_int8_activations:
+        raise ValueError(
+            "--use_stablehlo executes the frozen fp graph; it cannot be "
+            "combined with --use_int8_activations (the int8 lane runs "
+            "through the rebuilt-from-weights path)")
     module = load_artifact(artifact_dir, use_stablehlo=use_stablehlo,
                            use_int8_activations=use_int8_activations)
     params = module.params
@@ -92,7 +97,11 @@ def evaluate(artifact_dir: str,
         logging.info("compile+first forward: %.2f ms", first_forward * 1000)
         for k, v in timings.items():
             warm_n = n - 1 if k == "forward" else n
-            logging.info("%s: %.2f ms/image", k, v / max(warm_n, 1) * 1000)
+            if warm_n == 0:
+                logging.info("%s: n/a (single image — warm timing needs "
+                             ">=2)", k)
+            else:
+                logging.info("%s: %.2f ms/image", k, v / warm_n * 1000)
     scores = evaluator.evaluate()
     logging.info("Evaluation: %s", scores)
     return scores

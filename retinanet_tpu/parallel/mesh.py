@@ -84,9 +84,17 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
     def _put(x):
         x = np.asarray(x)
         axis = leading_dims
-        # batches indivisible by the mesh (e.g. a small eval batch) fall
-        # back to replication rather than failing the sharding constraint
+        # Single-process: batches indivisible by the mesh (e.g. a small
+        # eval batch) fall back to replication. Multi-process: replication
+        # would quietly merge DISTINCT per-process data into one
+        # "replicated" array — refuse instead.
         if x.ndim <= axis or x.shape[axis] % per_process_div != 0:
+            if jax.process_count() > 1 and x.ndim > axis:
+                raise ValueError(
+                    f"local batch dim {x.shape[axis]} not divisible by "
+                    f"this process's device share ({per_process_div}); "
+                    "replication across processes with distinct data "
+                    "would be silently wrong")
             spec = P()
             axis = None
         else:

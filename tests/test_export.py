@@ -118,7 +118,6 @@ def test_load_artifact_int8_activation_lane(tmp_path, tiny):
     and its detections stay close to the fp lane."""
     import json
 
-    from retinanet_tpu.data import anchors as anchor_lib
     from retinanet_tpu.data.preprocessing import make_device_normalizer
     from retinanet_tpu.export.calibration import calibrate_activations
 
@@ -149,10 +148,8 @@ def test_load_artifact_int8_activation_lane(tmp_path, tiny):
     assert det_q["boxes"].shape == det_f["boxes"].shape
     # int8 quantization moves scores slightly but not wildly
     assert float(np.abs(det_q["scores"] - det_f["scores"]).mean()) < 0.1
-    del anchor_lib
 
     # missing scales file -> loud error
-    import pytest as _pytest
     (tmp_path / "activation_scales.json").unlink()
-    with _pytest.raises(FileNotFoundError):
+    with pytest.raises(FileNotFoundError):
         serving_lib.load_artifact(str(tmp_path), use_int8_activations=True)

@@ -187,10 +187,19 @@ def parent() -> None:
         [sys.executable, __file__, str(i)], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(NPROC)]
+    timeout_s = int(os.environ.get("MPSMOKE_TIMEOUT", "480"))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append((p.returncode, out))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append((p.returncode, out))
+    finally:
+        # never orphan children (a leaked child keeps the coordinator
+        # port held and wedges every subsequent run)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     ok = all(rc == 0 for rc, _ in outs)
     losses = set()
     for rc, out in outs:
