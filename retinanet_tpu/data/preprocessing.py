@@ -123,22 +123,31 @@ class HostPreprocessor:
             boxes_norm = flip_boxes_horizontal(boxes_norm)
 
         th, tw = self.target_h, self.target_w
-        h, w = float(image.shape[0]), float(image.shape[1])
+        # All scalar geometry runs in float32: the reference computes scale /
+        # scaled_shape / offset as float32 tensors (preprocessing_pipeline.py:
+        # 13-42), and the int32 truncation of `max_offset * uniform` sits on
+        # float32 rounding boundaries — float64 here yields off-by-one crop
+        # offsets (e.g. 320 * f32(0.7) -> 224.0 in f32 but 223.9999... in
+        # f64 -> 223), which decorrelates the whole crop.
+        f32 = np.float32
+        hw = np.array(image.shape[:2], dtype=f32)
+        target = np.array([th, tw], dtype=f32)
 
         if self.jitter is not None:
-            random_scale = rng.uniform(self.jitter[0], self.jitter[1])
-            scaled_t = (random_scale * th, random_scale * tw)
+            random_scale = f32(rng.uniform(self.jitter[0], self.jitter[1]))
+            scaled_t = random_scale * target
         else:
-            scaled_t = (float(th), float(tw))
+            scaled_t = target
 
-        scale = min(scaled_t[0] / h, scaled_t[1] / w)
-        scaled_shape = np.round(np.array([h, w]) * scale)
-        image_scale = scaled_shape / np.array([h, w])  # (sy, sx)
+        scale = np.min((scaled_t / hw).astype(f32))
+        scaled_shape = np.round(hw * scale)
+        image_scale = (scaled_shape / hw).astype(f32)  # (sy, sx)
 
         offset = np.zeros(2, dtype=np.int64)
         if self.jitter is not None:
-            max_offset = np.maximum(scaled_shape - np.array([th, tw]), 0.0)
-            offset = (max_offset * rng.uniform(0, 1, size=2)).astype(np.int64)
+            max_offset = np.maximum(scaled_shape - target, f32(0.0))
+            draw = rng.uniform(0, 1, size=2).astype(f32)
+            offset = (max_offset * draw).astype(np.int64)
 
         if _HAS_CV2:
             # One-pass warpAffine fuses resize + crop + mean-pad and only
@@ -152,11 +161,22 @@ class HostPreprocessor:
             m_inv = np.array(
                 [[1.0 / sx, 0.0, (offset[1] + 0.5) / sx - 0.5],
                  [0.0, 1.0 / sy, (offset[0] + 0.5) / sy - 0.5]], np.float64)
+            # BORDER_REPLICATE matches tf.image.resize's clamp-at-edge
+            # sampling; a constant border would *blend* the last valid
+            # row/col with the pad value (up to ~58 LSB error vs the
+            # reference, caught by tests/test_preprocessing_parity.py).
+            # The pad region itself is mean-filled explicitly below.
             out = cv2.warpAffine(
                 image.astype(work_dtype, copy=False), m_inv, (tw, th),
                 flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
-                borderMode=cv2.BORDER_CONSTANT,
-                borderValue=tuple(float(c) for c in self.mean))
+                borderMode=cv2.BORDER_REPLICATE)
+            valid_h = min(th, int(scaled_shape[0]) - int(offset[0]))
+            valid_w = min(tw, int(scaled_shape[1]) - int(offset[1]))
+            pad_val = self.mean.astype(work_dtype)
+            if valid_h < th:
+                out[valid_h:] = pad_val
+            if valid_w < tw:
+                out[:, valid_w:] = pad_val
         else:
             resized = _resize(
                 image, (int(scaled_shape[0]), int(scaled_shape[1])),
@@ -168,11 +188,13 @@ class HostPreprocessor:
             out[:resized.shape[0], :resized.shape[1]] = resized
 
         # boxes: normalized corners -> pixels in the cropped frame
+        # (float32 throughout, matching reference __call__:83-92)
+        off_f = offset.astype(f32)
         boxes = np.stack([
-            boxes_norm[:, 0] * w * image_scale[1] - offset[1],
-            boxes_norm[:, 1] * h * image_scale[0] - offset[0],
-            boxes_norm[:, 2] * w * image_scale[1] - offset[1],
-            boxes_norm[:, 3] * h * image_scale[0] - offset[0],
+            boxes_norm[:, 0] * hw[1] * image_scale[1] - off_f[1],
+            boxes_norm[:, 1] * hw[0] * image_scale[0] - off_f[0],
+            boxes_norm[:, 2] * hw[1] * image_scale[1] - off_f[1],
+            boxes_norm[:, 3] * hw[0] * image_scale[0] - off_f[0],
         ], axis=-1) if boxes_norm.size else boxes_norm.reshape(0, 4)
 
         boxes, classes = self._prepare_labels(boxes, classes)
@@ -219,10 +241,14 @@ class HostPreprocessor:
         image = np.asarray(image)
         if image.dtype != work_dtype:
             image = image.astype(work_dtype)
-        h, w = float(image.shape[0]), float(image.shape[1])
         th, tw = self.target_h, self.target_w
-        scaled = np.round(np.array([h, w]) * min(th / h, tw / w))
-        resize_scale = scaled / np.array([h, w])
+        # float32 scalar math to match reference _resize_with_pad:96-103
+        # rounding boundaries exactly (see __call__ for why).
+        hw = np.array(image.shape[:2], dtype=np.float32)
+        scale = np.min((np.array([th, tw], np.float32) / hw)
+                       .astype(np.float32))
+        scaled = np.round(hw * scale)
+        resize_scale = (scaled / hw).astype(np.float32)
         resized = _resize(image, (int(scaled[0]), int(scaled[1])),
                           dtype=work_dtype)
         out = np.empty((th, tw, 3), dtype=work_dtype)
