@@ -487,7 +487,11 @@ def run_parity(input_size: int = 256, seed: int = 7,
 
 
 def run_detection_parity(input_size: int = 256, seed: int = 7,
-                         score_threshold: float = 0.005):
+                         score_threshold: float = 0.005,
+                         config_path: str = FLAGSHIP_CONFIG,
+                         healthify: bool = False,
+                         spread=(60.0, 15.0),
+                         return_context: bool = False):
     """Stage 2: compare FINAL detections at matched thresholds.
 
     Runs the reference's full export postprocess graph (FuseDetections ->
@@ -496,9 +500,13 @@ def run_detection_parity(input_size: int = 256, seed: int = 7,
     make_inference_fn with the exact-parity knobs (full pre-NMS top-k, no
     approx top-k) on the SAME transplanted weights and input.
 
-    Returns (ref_detections, flax_detections) as numpy dicts.
+    Returns (ref_detections, flax_detections) as numpy dicts; with
+    `return_context` also returns a dict carrying the transplanted model /
+    variables / config / anchors / images so further inference lanes
+    (approx top-k, int8) can be compared against the same reference
+    detections without rebuilding the Keras graph.
     """
-    with open(FLAGSHIP_CONFIG) as f:
+    with open(config_path) as f:
         ref_cfg = json.load(f)
     ref_cfg["floatx"]["precision"] = "float32"
 
@@ -508,14 +516,20 @@ def run_detection_parity(input_size: int = 256, seed: int = 7,
     ref_cfg["inference"]["score_threshold"] = score_threshold
 
     ref_model = build_reference_model(ref_cfg, input_size)
+    if healthify:
+        healthify_weights(ref_model, seed=seed)
     # Random init puts every class score within ~1e-3 of the 0.01 bias
     # prior: thousands of score TIES make NMS rank order arbitrary and the
     # comparison vacuous. Spread the logits/regressions by scaling the
     # prediction kernels IN the reference model (both sides then share the
     # scaled weights via the transplant).
+    # ... matching the dense head's kernel OR the separable head's
+    # pointwise kernel (mobiledet/efficientnet heads use SeparableConv2D)
     for w in ref_model.weights:
-        if "prediction-conv2d/kernel" in w.name:
-            w.assign(w * (60.0 if "class-head" in w.name else 15.0))
+        if ("prediction-conv2d/kernel" in w.name
+                or "prediction-conv2d/pointwise_kernel" in w.name):
+            w.assign(w * (spread[0] if "class-head" in w.name
+                          else spread[1]))
     weights = keras_weight_dict(ref_model)
 
     from retinanet_tpu.core.config import from_dict
@@ -533,8 +547,10 @@ def run_detection_parity(input_size: int = 256, seed: int = 7,
     model, variables = transplant(params_cfg, weights, input_size)
 
     rng = np.random.default_rng(seed)
+    n_images = 2 if input_size <= 256 else 1  # CPU cost at 640
     images = rng.normal(0.0, 1.0,
-                        (2, input_size, input_size, 3)).astype(np.float32)
+                        (n_images, input_size, input_size, 3)
+                        ).astype(np.float32)
 
     # reference postprocess graph, eager
     from retinanet.model.layers import (FuseDetections, FilterTopKDetections,
@@ -566,6 +582,16 @@ def run_detection_parity(input_size: int = 256, seed: int = 7,
     flax_det = jax.device_get(
         infer(variables["params"], variables["batch_stats"], images))
     flax_det = {k: np.asarray(v) for k, v in flax_det.items()}
+    if return_context:
+        return ref_det, flax_det, {
+            "model": model, "variables": variables,
+            "params_cfg": params_cfg, "anchors": anchors,
+            "images": images, "ref_cfg": ref_cfg,
+            "ref_raw": {
+                kind: {lvl: np.asarray(t)
+                       for lvl, t in ref_raw[kind].items()}
+                for kind in ("box-predictions", "class-predictions")},
+        }
     return ref_det, flax_det
 
 
