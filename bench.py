@@ -80,6 +80,29 @@ def main():
     train_imgs_per_sec = train_bs / dt
     train_imgs_per_sec_per_chip = train_imgs_per_sec / n_chips
 
+    # ---- roofline accounting: XLA-cost-analysis FLOPs, achieved TFLOP/s,
+    # MFU vs the chip's bf16 peak, and a measured HBM stream rate — so
+    # every perf claim here is auditable against the roofline at a glance.
+    PEAK_BF16_TFLOPS = 197.0  # TPU v5e MXU peak (public spec)
+    train_an = train_step.lower(state, batch).compile().cost_analysis()
+    if isinstance(train_an, list):
+        train_an = train_an[0]
+    train_flops_step = float(train_an.get("flops", -1.0))
+    fwd_an = jax.jit(step_lib.make_eval_forward(
+        model, jnp.bfloat16)).lower(
+        state.params, state.batch_stats,
+        jnp.zeros((1, 640, 640, 3), jnp.float32)).compile().cost_analysis()
+    if isinstance(fwd_an, list):
+        fwd_an = fwd_an[0]
+    fwd_flops_img = float(fwd_an.get("flops", -1.0))
+    achieved_tflops_train = train_flops_step / dt / 1e12
+    # streaming read+write of a 1 GiB f32 array (per-direction rate is
+    # half of the sum; tools/membw_experiments.py probes this in depth)
+    big = jnp.zeros((256, 1024, 1024), jnp.float32)
+    bw_dt = device_time(jax.jit(lambda x: x * 1.000001), big, iters=10)
+    hbm_gbps = 2 * big.size * 4 / bw_dt / 1e9
+    del big
+
     # ---- input-bound end-to-end: real host pipeline feeding the step -------
     # JPEG decode -> geometric preprocess -> shard -> device train step; the
     # number reflects the whole system, not just the device (the reference's
@@ -169,6 +192,13 @@ def main():
         "infer_fps_vs_target90": round(infer_fps / BASELINE_INFER_FPS, 3),
         "infer_latency_ms": round(infer_dt * 1000, 2),
         "int8_infer_fps_bs8": round(int8_fps, 1),
+        "flops_per_image_fwd_g": round(fwd_flops_img / 1e9, 1),
+        "train_flops_per_step_g": round(train_flops_step / 1e9, 1),
+        "achieved_tflops_train": round(achieved_tflops_train, 1),
+        "achieved_tflops_infer": round(
+            fwd_flops_img * infer_fps / 1e12, 1),
+        "mfu_train": round(achieved_tflops_train / PEAK_BF16_TFLOPS, 3),
+        "measured_hbm_gbps": round(hbm_gbps, 1),
         "input_bound_imgs_per_sec": round(e2e_imgs_per_sec, 1),
         # host pipeline alone (JPEG decode -> warpAffine preprocess ->
         # collate) on this sandbox's SINGLE core; the gap between this and

@@ -79,14 +79,20 @@ def main(argv):
             seed=FLAGS.global_seed)
 
     def val_input_fn():
-        # every host deliberately reads the FULL val set in the same
-        # deterministic order; Executor.evaluate() then feeds each host's
-        # contiguous 1/P slice of every batch (shard_global_batch), so each
-        # image enters the global batch exactly once and only process 0
-        # accumulates results
+        # every host walks the FULL val record stream in the same
+        # deterministic order but only DECODES its contiguous 1/P slice of
+        # each global batch (val_shard_*): P x less host decode work, each
+        # image still enters the global batch exactly once, and only
+        # process 0 accumulates results (metadata rides the detection
+        # gather — Executor.evaluate). Matches reference executor.py:178-202
+        # sharding one val dataset across hosts.
+        count = jax.process_count() if FLAGS.is_multi_host else 1
         return InputPipeline(
             "val", params, is_multi_host=False,
-            seed=FLAGS.global_seed)
+            batch_size=int(params.training.batch_size.val) // count,
+            seed=FLAGS.global_seed,
+            val_shard_index=jax.process_index() if count > 1 else 0,
+            val_shard_count=count)
 
     executor = Executor(
         params,

@@ -82,9 +82,22 @@ class InputPipeline:
                  max_boxes: int = 100,
                  num_workers: int = 16,
                  prefetch: int = 4,
-                 seed: int = 1337):
+                 seed: int = 1337,
+                 val_shard_index: int = 0,
+                 val_shard_count: int = 1):
         if run_mode not in _RUN_MODES:
             raise ValueError(f"run_mode must be one of {_RUN_MODES}")
+        if val_shard_count > 1 and run_mode != "val":
+            raise ValueError("val_shard_* only applies to run_mode='val'")
+        # Per-host val decode sharding (reference executor.py:178-202
+        # distributed one val dataset across hosts): every host walks the
+        # SAME deterministic record stream but only DECODES its contiguous
+        # `batch_size`-sized slice of each global batch of
+        # batch_size * val_shard_count samples; the other slots never cost
+        # a JPEG decode. All hosts emit the same number of local batches
+        # (sentinel-padded), so collectives stay in lockstep.
+        self.val_shard_index = int(val_shard_index)
+        self.val_shard_count = int(val_shard_count)
         self.run_mode = run_mode
         self.params = params
         self.max_boxes = max_boxes
@@ -171,14 +184,33 @@ class InputPipeline:
     def _collate(self, samples: List[Dict]) -> Dict[str, np.ndarray]:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
-    def _pad_final_val_batch(self, samples: List[Dict]) -> List[Dict]:
-        pad = dict(samples[0])
-        pad = {k: np.zeros_like(v) for k, v in pad.items()}
-        pad["image_id"] = np.int64(-1)  # sentinel: ignore in eval accumulate
-        pad["resize_scale"] = np.ones(2, np.float32)
-        while len(samples) < self.batch_size:
-            samples.append(pad)
-        return samples
+    def _sentinel_val(self) -> Dict:
+        """A padding sample: ignored by eval (image_id == -1 sentinel)."""
+        th, tw = self.preprocessor.target_h, self.preprocessor.target_w
+        return {"image": np.zeros((th, tw, 3), self.preprocessor.image_dtype),
+                "image_id": np.int64(-1),
+                "resize_scale": np.ones(2, np.float32)}
+
+    def _val_slots(self, stream: Iterator[bytes]) -> Iterator[Optional[bytes]]:
+        """Group the global record stream into global batches of
+        batch_size * val_shard_count, yield THIS host's contiguous
+        batch_size-slice of each (None = sentinel slot, incl. final-batch
+        padding). With val_shard_count == 1 this degrades to the plain
+        single-host stream + final-batch padding."""
+        global_bs = self.batch_size * self.val_shard_count
+        lo = self.val_shard_index * self.batch_size
+        chunk: List[bytes] = []
+        for rec in stream:
+            chunk.append(rec)
+            if len(chunk) == global_bs:
+                mine = chunk[lo:lo + self.batch_size]
+                yield from mine
+                yield from [None] * (self.batch_size - len(mine))
+                chunk = []
+        if chunk:
+            mine = chunk[lo:lo + self.batch_size]
+            yield from mine
+            yield from [None] * (self.batch_size - len(mine))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         is_train = self.run_mode == "train"
@@ -205,13 +237,17 @@ class InputPipeline:
                             out_q.put(self._collate(batch))
                             batch = []
 
-                    for record in stream:
+                    items = stream if is_train else self._val_slots(stream)
+                    for record in items:
                         if stop.is_set():
                             return
                         counter += 1
                         if is_train:
                             window.append(pool.submit(
                                 self._process_train, record, counter))
+                        elif record is None:   # sentinel slot (padding /
+                            window.append(pool.submit(  # other host's work)
+                                self._sentinel_val))
                         else:
                             window.append(pool.submit(
                                 self._process_val, record))
@@ -219,9 +255,10 @@ class InputPipeline:
                             drain_one()
                     while window:
                         drain_one()
-                    if batch and not is_train:
-                        batch = self._pad_final_val_batch(batch)
-                        out_q.put(self._collate(batch))
+                    assert not batch or is_train, \
+                        "val slots always fill whole batches"
+                    if batch and is_train:
+                        pass  # train drops the remainder (infinite stream)
             except Exception as e:  # propagate to consumer
                 out_q.put(e)
             finally:

@@ -30,6 +30,10 @@ flags.DEFINE_boolean("int8_activations", False,
                      "int8-activation serving quality (TRT INT8 parity)")
 flags.DEFINE_string("calibration_mode", "entropy",
                     "minmax | percentile | entropy")
+flags.DEFINE_boolean("require_real_calibration", False,
+                     "Hard-fail int8 activation calibration if the real "
+                     "val data stream is unavailable (instead of falling "
+                     "back to synthetic scenes)")
 flags.DEFINE_integer("calibration_batches", 4,
                      "Calibration stream length (synthetic scenes)")
 flags.DEFINE_boolean("stablehlo", True,
@@ -90,6 +94,10 @@ def main(argv):
         # tfrecords (the reference's TRT calibrator read training data,
         # tensorrt/calibrator.py); synthetic scenes only as fallback.
         batches = []
+        # provenance travels into activation_scales.json so a degraded
+        # calibration is visible in the artifact, not just in a log line
+        provenance = {"source": "real",
+                      "requested_batches": int(FLAGS.calibration_batches)}
         try:
             from retinanet_tpu.data.pipeline import InputPipeline
             pipe = iter(InputPipeline("val", params, batch_size=2))
@@ -97,14 +105,23 @@ def main(argv):
                 batches.append(next(pipe)["image"])
             del pipe
         except Exception as e:  # noqa: BLE001 - missing/unreadable data
+            if FLAGS.require_real_calibration:
+                raise RuntimeError(
+                    "int8 activation calibration requires the real val "
+                    f"stream (--require_real_calibration) but it failed "
+                    f"after {len(batches)} batches: "
+                    f"{type(e).__name__}: {e}") from e
+            provenance["error"] = f"{type(e).__name__}: {e}"
             if batches:
                 # keep whatever real batches were read before the error —
                 # partial real data beats synthetic scenes
+                provenance["source"] = "partial_real"
                 logging.warning(
                     "val stream failed after %d batches (%s: %s); "
                     "calibrating on the real batches read so far",
                     len(batches), type(e).__name__, e)
             else:
+                provenance["source"] = "synthetic"
                 logging.warning(
                     "val tfrecords unavailable (%s: %s); calibrating on "
                     "synthetic scenes", type(e).__name__, e)
@@ -116,6 +133,7 @@ def main(argv):
                     for i in range(FLAGS.calibration_batches)]
         else:
             logging.info("calibrating on %d real val batches", len(batches))
+        provenance["used_batches"] = len(batches)
         variables = {"params": model_params,
                      "batch_stats": executor.state.batch_stats}
         scales = calibrate_activations(
@@ -125,7 +143,8 @@ def main(argv):
                 executor.compute_dtype))
         spath = os.path.join(FLAGS.export_dir, "activation_scales.json")
         with open(spath, "w") as f:
-            json.dump({"mode": FLAGS.calibration_mode, "scales": scales}, f,
+            json.dump({"mode": FLAGS.calibration_mode,
+                       "calibration": provenance, "scales": scales}, f,
                       indent=1)
         report = int8_activation_report(
             executor.model, params, executor.anchors, executor.normalizer,

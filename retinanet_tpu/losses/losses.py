@@ -88,6 +88,13 @@ def class_loss(targets: Dict[str, jnp.ndarray],
         this chip streams reads at ~125 GB/s; see tools/membw_experiments).
       * Split the prediction's channel axis ((B,H,W,A*K) -> (B,H,W,A,K),
         free bitcast of the MINOR dim) rather than merging the one-hot's.
+
+    CONSTRAINT: jax.custom_vjp makes this loss REVERSE-MODE ONLY —
+    jax.jvp / forward-mode Hessian-vector products through it raise, and
+    gradients w.r.t. the integer class TARGETS are pinned to zero (they
+    are non-differentiable anyway). Fine for the training loop; use the
+    plain autodiff form (git history, pinned by test_losses.py's
+    analytic-vs-autodiff check) if second-order derivatives are needed.
     """
     alpha = float(alpha)
     gamma = float(gamma)

@@ -67,6 +67,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
     train pipeline shards the file list per host) and we assemble the
     global array from per-host shards.
 
+    Scalar leaves (ndim <= leading_dims) are REPLICATED: they must be
+    identical across processes (they are assembled via
+    make_array_from_process_local_data without cross-process verification,
+    so distinct per-process scalars would be silently merged — pass only
+    process-invariant scalars, e.g. a shared step counter).
+
     ``leading_dims`` skips that many axes before the batch axis — used for
     the ``steps_per_execution`` multi-step path where batches are stacked
     on a leading scan axis: shape (steps, batch, ...) shards axis 1.

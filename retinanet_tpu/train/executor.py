@@ -464,12 +464,26 @@ class Executor:
 
         params = self._eval_params()
         n_batches = 0
-        for batch in self.val_input_fn():
+        pipe = self.val_input_fn()
+        # per-host-sharded val decode: each host's pipeline yields only its
+        # contiguous 1/P slice of every global batch (P x less host decode,
+        # reference executor.py:178-202 sharded the val dataset the same
+        # way), so image metadata must ride the same cross-host gather as
+        # the detections. Unsharded pipelines (every host decodes the full
+        # set) keep the round-2 exactly-once slicing path.
+        host_sharded = getattr(pipe, "val_shard_count", 1) > 1
+        for batch in pipe:
             if max_batches is not None and n_batches >= max_batches:
                 break
-            images = mesh_lib.shard_global_batch(
-                {"image": batch["image"]}, self.mesh)["image"]
+            if host_sharded:
+                images = mesh_lib.shard_batch(
+                    {"image": batch["image"]}, self.mesh)["image"]
+            else:
+                images = mesh_lib.shard_global_batch(
+                    {"image": batch["image"]}, self.mesh)["image"]
             detections = infer(params, self.state.batch_stats, images)
+            meta = {"image_id": batch["image_id"],
+                    "resize_scale": batch["resize_scale"]}
             if jax.process_count() > 1:
                 # cross-host gather (reference strategy.gather,
                 # executor.py:393-399); returns the full global batch's
@@ -481,13 +495,19 @@ class Executor:
                 from jax.experimental import multihost_utils
                 detections = multihost_utils.process_allgather(
                     detections, tiled=True)
+                if host_sharded:
+                    # each host only holds its slice's metadata — gather it
+                    # in the same process order the image batch was
+                    # assembled in (make_array_from_process_local_data)
+                    meta = multihost_utils.process_allgather(
+                        meta, tiled=True)
             else:
                 detections = jax.device_get(detections)
             if is_chief:
                 evaluator.accumulate_results({
-                    "image_id": batch["image_id"],
+                    "image_id": meta["image_id"],
                     "detections": detections,
-                    "resize_scale": batch["resize_scale"],
+                    "resize_scale": meta["resize_scale"],
                 })
             n_batches += 1
         logging.info("Evaluated %d batches", n_batches)

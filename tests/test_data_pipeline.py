@@ -182,3 +182,37 @@ def test_warp_affine_matches_resize_crop_pad(tmp_path):
     np.testing.assert_array_equal(
         img[sh[0] + 1:], np.broadcast_to(
             pre.mean.astype(np.uint8), img[sh[0] + 1:].shape))
+
+
+def test_val_shard_decode_exactly_once(synthetic_data, tmp_path):
+    """Per-host val decode sharding (round 3): P hosts each decode only
+    their contiguous 1/P slice of every global batch; concatenating the
+    hosts' local batches reproduces the unsharded pipeline exactly
+    (images, ids, scales), including final-batch sentinel padding."""
+    params = _params(tmp_path, synthetic_data, bs=8)
+    full = list(InputPipeline("val", params, batch_size=8))
+    shard0 = list(InputPipeline("val", params, batch_size=4,
+                                val_shard_index=0, val_shard_count=2))
+    shard1 = list(InputPipeline("val", params, batch_size=4,
+                                val_shard_index=1, val_shard_count=2))
+    assert len(full) == len(shard0) == len(shard1)
+    for fb, s0, s1 in zip(full, shard0, shard1):
+        for k in fb:
+            merged = np.concatenate([s0[k], s1[k]])
+            np.testing.assert_array_equal(merged, fb[k], err_msg=k)
+    # each host decodes exactly half the real samples
+    n0 = sum(int((b["image_id"] >= 0).sum()) for b in shard0)
+    n1 = sum(int((b["image_id"] >= 0).sum()) for b in shard1)
+    n = sum(int((b["image_id"] >= 0).sum()) for b in full)
+    assert n0 + n1 == n == 12
+
+
+def test_val_shard_trailing_host_all_sentinel(synthetic_data, tmp_path):
+    """12 samples, global batch 8, P=2: the 2nd global batch holds only 4
+    samples — host 1's slice is pure padding but it must still emit the
+    batch so collectives stay in lockstep."""
+    params = _params(tmp_path, synthetic_data, bs=8)
+    shard1 = list(InputPipeline("val", params, batch_size=4,
+                                val_shard_index=1, val_shard_count=2))
+    assert len(shard1) == 2
+    assert (shard1[1]["image_id"] == -1).all()

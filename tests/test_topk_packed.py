@@ -93,3 +93,38 @@ def test_recall_against_exact_topk():
     recall = np.mean([len(np.intersect1d(idx[b, c], exact[b, c])) / k
                       for b in range(2) for c in range(8)])
     assert recall >= 0.93  # target 0.95, margin for bin-edge variance
+
+
+def test_packed_drop1_path_quantizes_one_ulp():
+    """ADVICE r2: exercise the idx_bits=17 (A > 65536, COCO-640) path where
+    the bf16 LSB is dropped from the sort key. The returned value must
+    equal scores[index] rounded DOWN to 7 mantissa bits (the documented
+    quantization), and ordering must hold on the quantized values."""
+    a = 70000  # > 2**16 -> idx_bits=17, drop=1
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 4, (2, a)).astype(np.float32),
+                    jnp.bfloat16)
+    k = 64
+    vals, idx = jax.jit(lambda s: approx_max_k_packed(s, k))(x)
+    vals_u16 = np.asarray(
+        jax.lax.bitcast_convert_type(vals, jnp.uint16))
+    gathered = np.take_along_axis(np.asarray(
+        jax.lax.bitcast_convert_type(x, jnp.uint16)), np.asarray(idx),
+        axis=-1)
+    # value == scores[index] with the low mantissa bit cleared (positive
+    # scores: orderable map keeps bit patterns monotone, drop clears LSB)
+    assert np.array_equal(vals_u16, gathered & np.uint16(0xFFFE)), (
+        "drop=1 unpack must round scores[idx] to 7 mantissa bits")
+    # at most one bf16 ulp of value error
+    err = np.abs(np.asarray(vals, np.float32)
+                 - np.take_along_axis(np.asarray(x, np.float32),
+                                      np.asarray(idx), axis=-1))
+    ulp = np.abs(np.asarray(x, np.float32)) * 2 ** -7
+    assert np.all(err <= np.take_along_axis(ulp, np.asarray(idx), axis=-1))
+    # descending on the quantized values
+    v = np.asarray(vals, np.float32)
+    assert np.all(np.diff(v, axis=-1) <= 0)
+    # indices valid and unique per row
+    assert np.asarray(idx).min() >= 0 and np.asarray(idx).max() < a
+    for b in range(2):
+        assert len(set(np.asarray(idx)[b])) == k

@@ -171,8 +171,33 @@ def child(process_id: int) -> None:
     digest = float(np.sum(dets["scores"])) + float(
         np.sum(dets["valid_detections"]))
 
+    # 5. round-3 per-host val-decode sharding: each host feeds only its
+    # LOCAL slice (shard_batch assembly) and the metadata rides the same
+    # tiled allgather as the detections — the detections must be
+    # bit-identical to the round-2 shard_global_batch path above, and the
+    # gathered metadata must reproduce the full id/scale set in order.
+    local_val = {k: mesh_lib.process_slice(np.asarray(v),
+                                           jax.process_index(), NPROC)
+                 for k, v in val.items()}
+    sharded_images = mesh_lib.shard_batch(
+        {"image": local_val["image"]}, mesh)["image"]
+    dets2 = infer(state.params, state.batch_stats, sharded_images)
+    dets2 = multihost_utils.process_allgather(dets2, tiled=True)
+    for k in dets:
+        np.testing.assert_array_equal(
+            np.asarray(dets[k]), np.asarray(dets2[k]),
+            err_msg=f"sharded-decode eval diverged on {k}")
+    ids_local = np.arange(8)[jax.process_index() * (8 // NPROC):
+                             (jax.process_index() + 1) * (8 // NPROC)]
+    meta = multihost_utils.process_allgather(
+        {"image_id": ids_local,
+         "resize_scale": np.ones((8 // NPROC, 2), np.float32)}, tiled=True)
+    np.testing.assert_array_equal(meta["image_id"], np.arange(8))
+    assert meta["resize_scale"].shape == (8, 2)
+
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"loss={loss:.6f} evaldigest={digest:.6f}", flush=True)
+          f"shardedval ok, loss={loss:.6f} evaldigest={digest:.6f}",
+          flush=True)
 
 
 def parent() -> None:
