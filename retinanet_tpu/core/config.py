@@ -101,6 +101,7 @@ _DEFAULTS: dict = {
         "validation_samples": -1,
         "remap_class_ids": True,
         "steps_per_execution": 1,
+        "log_every": 20,  # metric fetch/log cadence when spe == 1
         "save_every": 1000,
         "recovery": {
             "use_inflection_detector": False,

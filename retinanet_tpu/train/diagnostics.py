@@ -133,6 +133,17 @@ class MetricsLogger:
                 for k, v in clean.items():
                     tf.summary.scalar(k, v, step=step)
 
+    def log_histograms(self, step: int, tensors: Dict) -> None:
+        """Per-weight value histograms (reference executor.py:329-344 wrote
+        norms AND histograms). TensorBoard-only — a histogram has no JSONL
+        representation; silently a no-op when TF/TB is unavailable."""
+        if self._tb is None:
+            return
+        import tensorflow as tf
+        with self._tb.as_default():
+            for k, v in tensors.items():
+                tf.summary.histogram(k, v, step=step)
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:

@@ -312,6 +312,12 @@ class Executor:
 
         spe = max(self.steps_per_execution, 1)
         multi_step = self.steps_per_execution > 1
+        # Metric-fetch cadence: with spe == 1, fetching every step would
+        # block on a device round trip per step and serialize async
+        # dispatch (round-2 review weak #5). `training.log_every` decouples
+        # it (default 20); multi-step configs already fetch once per scan.
+        log_every = spe if multi_step else max(
+            1, int(self.params.training.get("log_every", 20)))
         while current < self.train_steps:
             t0 = time.time()
             if multi_step:
@@ -333,7 +339,7 @@ class Executor:
             # a device round trip and would otherwise serialize the async
             # dispatch pipeline (the reference's steps_per_execution solved
             # the same problem on the TF side, executor.py:605-621).
-            should_log = (current % spe == 0
+            should_log = (current % log_every == 0
                           or current >= self.train_steps)
             if should_log:
                 metrics = jax.device_get(metrics)
@@ -538,6 +544,15 @@ class Executor:
                 for k in key_path)
             scalars[f"weights/{name}"] = float(value)
         self.metrics.log(step, scalars)
+        # value histograms too (reference executor.py:329-344); one
+        # device_get of the params at the weights-info cadence
+        flat_p, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(self.state.params))
+        self.metrics.log_histograms(step, {
+            "weights-hist/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in key_path): value
+            for key_path, value in flat_p})
 
     # -------------------------------------------------------- introspection
 

@@ -34,6 +34,9 @@ def _tiny_params(tmp_path, pattern, ann_path=None, train_steps=6,
                           "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
         "training": {
             "train_steps": train_steps, "save_every": save_every,
+            # per-step logging in tests (production default decouples the
+            # metric fetch from spe=1 at a 20-step cadence)
+            "log_every": 1,
             "batch_size": {"train": bs, "val": bs},
             "annotation_file_path": ann_path or "",
             "optimizer": {
@@ -203,3 +206,26 @@ def test_inflection_recovery(tmp_path, data):
                       "train", params, max_boxes=20),
                   enable_tensorboard=False)
     assert ex.train()
+
+
+def test_weights_info_norms_and_histograms(data, tmp_path):
+    """_write_weights_info logs per-weight L2 norms (JSONL + TB) and value
+    histograms (TB; reference executor.py:329-344 wrote both)."""
+    import glob
+    import json as _json
+    pattern, _ = data
+    params = _tiny_params(tmp_path, pattern, train_steps=2, save_every=2)
+    ex = Executor(params, run_mode="train",
+                  train_input_fn=lambda: InputPipeline(
+                      "train", params, max_boxes=20),
+                  enable_tensorboard=True)
+    ex._write_weights_info(1)
+    ex.metrics.flush()
+    log_dir = tmp_path / "models" / "exec_test" / "logs"
+    lines = (log_dir / "train_metrics.jsonl").read_text().splitlines()
+    rec = _json.loads(lines[-1])
+    weight_keys = [k for k in rec if k.startswith("weights/")]
+    assert len(weight_keys) > 10
+    assert all(v >= 0 for k, v in rec.items() if k in weight_keys)
+    # TB event files exist (histograms are TB-only)
+    assert glob.glob(str(log_dir / "train" / "events.out.tfevents.*"))
