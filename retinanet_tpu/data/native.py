@@ -120,3 +120,74 @@ def parse_detection_example(record: bytes,
         "boxes": boxes[:n].copy(),
         "classes": classes[:n].copy(),
     }
+
+
+# ---------------------------------------------------------------------------
+# native JPEG decode (native/jpeg_native.cpp, links -ljpeg)
+# ---------------------------------------------------------------------------
+
+_JPEG_SRC = os.path.join(_NATIVE_DIR, "jpeg_native.cpp")
+_JPEG_LIB = os.path.join(_NATIVE_DIR, "libjpeg_native.so")
+
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_failed = False
+
+
+def _build_jpeg() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _JPEG_LIB, _JPEG_SRC, "-ljpeg"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_jpeg_lib() -> Optional[ctypes.CDLL]:
+    global _jpeg_lib, _jpeg_failed
+    if _jpeg_lib is not None or _jpeg_failed:
+        return _jpeg_lib
+    if not os.path.exists(_JPEG_LIB) or (
+            os.path.exists(_JPEG_SRC)
+            and os.path.getmtime(_JPEG_SRC) > os.path.getmtime(_JPEG_LIB)):
+        if not os.path.exists(_JPEG_SRC) or not _build_jpeg():
+            _jpeg_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_JPEG_LIB)
+    except OSError:
+        _jpeg_failed = True
+        return None
+    lib.jpg_dims.restype = ctypes.c_int
+    lib.jpg_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.jpg_decode_rgb.restype = ctypes.c_int
+    lib.jpg_decode_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    _jpeg_lib = lib
+    return _jpeg_lib
+
+
+def decode_jpeg_rgb(data: bytes) -> Optional[np.ndarray]:
+    """GIL-free libjpeg decode straight to C-contiguous RGB.
+
+    Returns None for non-JPEG payloads (e.g. PNG) or when the native lib
+    is unavailable — callers fall back to cv2/PIL."""
+    lib = get_jpeg_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.jpg_dims(data, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpg_decode_rgb(data, len(data), out, out.nbytes,
+                            ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return out

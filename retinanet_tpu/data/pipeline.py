@@ -53,12 +53,21 @@ _FILE_SHUFFLE_SEED = 1337  # reference input_pipeline.py:10
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG/PNG -> RGB uint8 (H, W, 3)."""
+    """JPEG/PNG -> RGB uint8 (H, W, 3), C-contiguous.
+
+    Native libjpeg decode (GIL-free, RGB direct) when the shared lib is
+    available; cv2 otherwise. The cv2 path uses cvtColor (0.09 ms SIMD)
+    rather than `img[:, :, ::-1]` — the negative-stride view silently
+    DOUBLED downstream warpAffine cost (8.3 vs 3.6 ms at 640x480; cv2
+    copies non-contiguous sources internally per call)."""
+    native = native_codec.decode_jpeg_rgb(data)
+    if native is not None:
+        return native
     if cv2 is not None:
         img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError("Failed to decode image")
-        return img[:, :, ::-1]  # BGR -> RGB
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     from PIL import Image  # fallback
     import io as _io
     return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))

@@ -101,11 +101,26 @@ def class_loss(targets: Dict[str, jnp.ndarray],
     ls = float(label_smoothing)
     nc = int(num_classes)
 
+    # The one-hot compare's target broadcast MATERIALIZES on TPU (the
+    # pallas-encoder output's layout conflicts with the head conv's, so
+    # XLA cannot fuse the broadcast into the eq: a (B,H,W,A,K) buffer is
+    # written + relayout-copied, 1.8 ms/step at f32 in the 640 profile).
+    # Comparing in int8 carries the same information (targets are small
+    # integers and the -1/-2 sentinels; exact under s8 for K <= 126)
+    # at 1/4 the bytes. bf16 (exact for ids <= 256) covers wider heads;
+    # beyond that, fall back to exact f32.
+    if nc <= 126:
+        _cmp_t = jnp.int8
+    elif nc <= 256:
+        _cmp_t = jnp.bfloat16
+    else:
+        _cmp_t = jnp.float32
+
     def _pieces(tgt, pred):
         b, h, w, a = tgt.shape
         logits = pred.astype(jnp.float32).reshape(b, h, w, a, nc)
-        pos = tgt[..., None] == jax.lax.broadcasted_iota(
-            jnp.float32, (1, 1, 1, 1, nc), 4)
+        pos = tgt.astype(_cmp_t)[..., None] == jax.lax.broadcasted_iota(
+            _cmp_t, (1, 1, 1, 1, nc), 4)
         softplus = jnp.logaddexp(logits, 0.0)
         ce = jnp.where(pos,
                        softplus - logits * (1.0 - 0.5 * ls),

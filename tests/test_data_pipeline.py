@@ -216,3 +216,50 @@ def test_val_shard_trailing_host_all_sentinel(synthetic_data, tmp_path):
                                 val_shard_index=1, val_shard_count=2))
     assert len(shard1) == 2
     assert (shard1[1]["image_id"] == -1).all()
+
+
+def test_native_jpeg_decode_matches_cv2():
+    """libjpeg decode (GIL-free lane) agrees with cv2's (both ride
+    libjpeg-turbo; IDCT output is bit-identical)."""
+    cv2 = pytest.importorskip("cv2")
+    from retinanet_tpu.data import native as native_codec
+    from retinanet_tpu.data.pipeline import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (123, 211, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    data = enc.tobytes()
+
+    got = native_codec.decode_jpeg_rgb(data)
+    if got is None:
+        pytest.skip("native jpeg lib unavailable")
+    ref = cv2.cvtColor(
+        cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR),
+        cv2.COLOR_BGR2RGB)
+    assert got.shape == ref.shape == (123, 211, 3)
+    np.testing.assert_array_equal(got, ref)
+    assert got.flags.c_contiguous
+
+    # the public entry point rides the native lane and returns the same
+    np.testing.assert_array_equal(decode_jpeg(data), got)
+
+
+def test_native_jpeg_decode_rejects_non_jpeg():
+    """PNG / garbage payloads return None (callers fall back to cv2)."""
+    from retinanet_tpu.data import native as native_codec
+    if native_codec.get_jpeg_lib() is None:
+        pytest.skip("native jpeg lib unavailable")
+    assert native_codec.decode_jpeg_rgb(b"\x89PNG\r\n\x1a\n junk") is None
+    assert native_codec.decode_jpeg_rgb(b"") is None
+
+
+def test_decode_jpeg_png_fallback():
+    """Non-JPEG images still decode through the cv2/PIL fallback."""
+    cv2 = pytest.importorskip("cv2")
+    from retinanet_tpu.data.pipeline import decode_jpeg
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    ok, enc = cv2.imencode(".png", img[:, :, ::-1])
+    assert ok
+    np.testing.assert_array_equal(decode_jpeg(enc.tobytes()), img)

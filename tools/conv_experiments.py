@@ -141,6 +141,103 @@ def bench_conv(spec, iters=30):
     return dt * 1e3, flops / dt / 1e12
 
 
+def make_conv_callable(spec):
+    """(lhs, rhs) -> conv output with the exact HLO parameters, plus the
+    input builders. Returns (fn, lhs_shape, rhs_shape, flops)."""
+    size = _parse_pair(_win_attr(spec["window"], "size", "1x1"))
+    stride = _parse_pair(_win_attr(spec["window"], "stride", "1x1"))
+    pad = _parse_pad(_win_attr(spec["window"], "pad", ""))
+    lhs_dil = _parse_pair(_win_attr(spec["window"], "lhs_dilate", "1x1"))
+    rhs_dil = _parse_pair(_win_attr(spec["window"], "rhs_dilate", "1x1"))
+    lab = spec["labels"]
+    lhs_spec, rhs_spec = lab.split("->")[0].split("_")
+    out_spec = lab.split("->")[1]
+
+    def to_str(s):
+        table = {"b": "N", "f": "C", "i": "I", "o": "O"}
+        return "".join(table[ch] if ch in table else "HW"[int(ch)]
+                       for ch in s)
+
+    dn = jax.lax.conv_dimension_numbers(
+        spec["lhs"], spec["rhs"],
+        (to_str(lhs_spec), to_str(rhs_spec), to_str(out_spec)))
+    out_dtype = jnp.float32 if spec["out_dtype"] == "f32" else jnp.bfloat16
+
+    def f(lhs, rhs):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=stride, padding=pad,
+            lhs_dilation=lhs_dil, rhs_dilation=rhs_dil,
+            dimension_numbers=dn, feature_group_count=spec["fgc"],
+            preferred_element_type=out_dtype)
+
+    cin = spec["rhs"][rhs_spec.index("i")] if "i" in rhs_spec else 1
+    flops = 2.0 * float(np.prod(spec["out"])) * size[0] * size[1] * cin \
+        / spec["fgc"]
+    return f, spec["lhs"], spec["rhs"], flops
+
+
+def chained_total(groups, spec_of, iters=8):
+    """ONE jitted program running every conv spec once, serialized by a
+    data dependency — one compile instead of 2-per-spec, and the sum is
+    the quantity of interest (the achievable conv floor). Inputs derive
+    from the runtime carry (iota + carry) so nothing constant-folds.
+    Per-spec counts are applied analytically to the reported total."""
+    built = []
+    for key, count in groups.items():
+        spec = spec_of[key]
+        try:
+            f, lhs_shape, rhs_shape, flops = make_conv_callable(spec)
+        except Exception as e:  # noqa: BLE001
+            print(f"  SKIP {key}: {type(e).__name__}: {e}", flush=True)
+            continue
+        built.append((f, lhs_shape, rhs_shape, flops, count))
+
+    # Real random inputs passed through the input pytree (iota-derived
+    # inputs let XLA collapse the whole chain — measured 1756 "TFLOP/s").
+    # Serialization rides a SCALAR carry injected into each (tiny) kernel:
+    # rhs_i += carry*0 makes conv_i depend on conv_{i-1}'s output, and
+    # carry += out[0]*0 keeps every output live (f32 x*0 is not foldable,
+    # NaN semantics). A full-array carry (utils.benchmark.device_time's
+    # trick) would add a 52 MB stream per conv and swamp sub-ms ops.
+    rng = np.random.default_rng(0)
+    lhs_args = []
+    rhs_args = []
+    for i, (f, lhs_shape, rhs_shape, _, _) in enumerate(built):
+        lhs_args.append(jnp.asarray(
+            rng.normal(0, 1, lhs_shape), jnp.bfloat16))
+        rhs_args.append(jnp.asarray(
+            rng.normal(0, 1, rhs_shape), jnp.bfloat16))
+
+    def chain(args):
+        lhss, rhss, seed = args["lhs"], args["rhs"], args["seed"]
+        acc = seed
+        for i, (f, _, _, _, count) in enumerate(built):
+            for _ in range(count):
+                rhs = rhss[i] + acc.astype(jnp.bfloat16) * 0
+                out = f(lhss[i], rhs)
+                # liveness via a RUNTIME-indexed element: a static slice
+                # of a conv can be folded into a receptive-field mini-conv
+                # by the simplifier; a data-dependent index cannot
+                idx = jnp.asarray(acc, jnp.int32) % out.shape[0]
+                val = jax.lax.dynamic_slice(
+                    out, (idx,) + (0,) * (out.ndim - 1), (1,) * out.ndim)
+                acc = acc + val.astype(jnp.float32).sum() * 0.0
+        return acc
+
+    import time as _time
+    cj = jax.jit(chain)
+    args = {"lhs": lhs_args, "rhs": rhs_args,
+            "seed": jnp.zeros((), jnp.float32)}
+    float(cj(args))  # compile
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        out = cj(args)
+    float(out)
+    per_chain = (_time.perf_counter() - t0) / iters
+    total_flops = sum(f * c for _, _, _, f, c in built)
+    return per_chain * 1e3, per_chain * 1e3, total_flops
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_hlo.txt"
     with open(path) as f:
@@ -154,6 +251,14 @@ def main():
                c["labels"], c["fgc"])
         groups[key] += 1
         spec_of[key] = c
+
+    if "--chain" in sys.argv:
+        once_ms, total_ms, total_flops = chained_total(groups, spec_of)
+        print(f"chained once-per-spec: {once_ms:.2f} ms; "
+              f"count-weighted conv total: {total_ms:.2f} ms "
+              f"({total_flops / 1e12:.2f} TFLOP -> "
+              f"{total_flops / (total_ms / 1e3) / 1e12:.1f} TFLOP/s)")
+        return
 
     def est_flops(key):
         spec = spec_of[key]
