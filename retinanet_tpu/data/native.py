@@ -123,42 +123,54 @@ def parse_detection_example(record: bytes,
 
 
 # ---------------------------------------------------------------------------
+# shared build-on-first-use loader for the optional native libs
+# ---------------------------------------------------------------------------
+
+_lib_cache: Dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def _load_native_lib(basename: str, extra_link: List[str],
+                     configure) -> Optional[ctypes.CDLL]:
+    """Compile native/<basename>.cpp to a cached .so and dlopen it.
+
+    Returns None (and caches the failure) when the toolchain, source, or a
+    link dependency is unavailable — callers fall back to cv2/numpy."""
+    if basename in _lib_cache:
+        return _lib_cache[basename]
+    src = os.path.join(_NATIVE_DIR, f"{basename}.cpp")
+    lib_path = os.path.join(_NATIVE_DIR, f"lib{basename}.so")
+    _lib_cache[basename] = None
+    if not os.path.exists(lib_path) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(lib_path)):
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", lib_path, src] + extra_link,
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    configure(lib)
+    _lib_cache[basename] = lib
+    return lib
+
+
+# ---------------------------------------------------------------------------
 # native JPEG decode (native/jpeg_native.cpp, links -ljpeg)
 # ---------------------------------------------------------------------------
 
-_JPEG_SRC = os.path.join(_NATIVE_DIR, "jpeg_native.cpp")
-_JPEG_LIB = os.path.join(_NATIVE_DIR, "libjpeg_native.so")
-
-_jpeg_lib: Optional[ctypes.CDLL] = None
-_jpeg_failed = False
-
-
-def _build_jpeg() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _JPEG_LIB, _JPEG_SRC, "-ljpeg"],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
 
 def get_jpeg_lib() -> Optional[ctypes.CDLL]:
-    global _jpeg_lib, _jpeg_failed
-    if _jpeg_lib is not None or _jpeg_failed:
-        return _jpeg_lib
-    if not os.path.exists(_JPEG_LIB) or (
-            os.path.exists(_JPEG_SRC)
-            and os.path.getmtime(_JPEG_SRC) > os.path.getmtime(_JPEG_LIB)):
-        if not os.path.exists(_JPEG_SRC) or not _build_jpeg():
-            _jpeg_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(_JPEG_LIB)
-    except OSError:
-        _jpeg_failed = True
-        return None
+    return _load_native_lib("jpeg_native", ["-ljpeg"], _configure_jpeg)
+
+
+def _configure_jpeg(lib: ctypes.CDLL) -> None:
     lib.jpg_dims.restype = ctypes.c_int
     lib.jpg_dims.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
@@ -169,8 +181,6 @@ def get_jpeg_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-    _jpeg_lib = lib
-    return _jpeg_lib
 
 
 def decode_jpeg_rgb(data: bytes) -> Optional[np.ndarray]:
@@ -188,6 +198,63 @@ def decode_jpeg_rgb(data: bytes) -> Optional[np.ndarray]:
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.jpg_decode_rgb(data, len(data), out, out.nbytes,
                             ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fused bilinear resample + crop + flip + pad (native/resample_native.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _configure_resample(lib: ctypes.CDLL) -> None:
+    common = [ctypes.c_int] * 4 + [ctypes.c_double] * 4 + [
+        ctypes.c_int, np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.resample_bilinear_u8.restype = ctypes.c_int
+    lib.resample_bilinear_u8.argtypes = (
+        [u8, ctypes.c_int, ctypes.c_int, u8] + common)
+    lib.resample_bilinear_f32.restype = ctypes.c_int
+    lib.resample_bilinear_f32.argtypes = (
+        [f32, ctypes.c_int, ctypes.c_int, f32] + common)
+
+
+def get_resample_lib() -> Optional[ctypes.CDLL]:
+    return _load_native_lib("resample_native", [], _configure_resample)
+
+
+def resample_bilinear(image: np.ndarray,
+                      out_hw: "tuple[int, int]",
+                      valid_hw: "tuple[int, int]",
+                      scale_yx: "tuple[float, float]",
+                      offset_yx: "tuple[float, float]",
+                      flip: bool,
+                      pad_rgb: np.ndarray) -> Optional[np.ndarray]:
+    """tf.image.resize-parity bilinear sample of `image` into a fresh
+    (out_h, out_w, 3) canvas: the valid region is resize(+crop at offset,
+    + optional horizontal flip folded into the sampling coords), the rest
+    is `pad_rgb`. GIL-free; float weights (closer to tf.image than cv2's
+    5-bit fixed point). Returns None when the native lib is unavailable."""
+    lib = get_resample_lib()
+    if lib is None:
+        return None
+    if image.dtype == np.uint8:
+        fn = lib.resample_bilinear_u8
+    elif image.dtype == np.float32:
+        fn = lib.resample_bilinear_f32
+    else:
+        return None
+    image = np.ascontiguousarray(image)
+    out = np.empty((int(out_hw[0]), int(out_hw[1]), 3), image.dtype)
+    pad = np.ascontiguousarray(pad_rgb, np.float32)
+    rc = fn(image, image.shape[0], image.shape[1],
+            out, out.shape[0], out.shape[1],
+            int(valid_hw[0]), int(valid_hw[1]),
+            float(scale_yx[0]), float(scale_yx[1]),
+            float(offset_yx[0]), float(offset_yx[1]),
+            1 if flip else 0, pad)
     if rc != 0:
         return None
     return out

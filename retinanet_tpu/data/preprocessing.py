@@ -35,6 +35,8 @@ except Exception:  # pragma: no cover
 
 import jax.numpy as jnp
 
+from retinanet_tpu.data import native as _native
+
 
 def _resize(image: np.ndarray, out_hw: Tuple[int, int],
             dtype=np.float32) -> np.ndarray:
@@ -118,8 +120,12 @@ class HostPreprocessor:
         boxes_norm = np.asarray(boxes_norm, dtype=np.float32).reshape(-1, 4)
         classes = np.asarray(classes, dtype=np.int32).reshape(-1)
 
-        if self.horizontal_flip and rng.uniform() > 0.5:
-            image = np.ascontiguousarray(image[:, ::-1, :])
+        # The image flip is folded into the resampler's x coordinates
+        # (mirror-then-resize == resize at mirrored coords, exact in float
+        # bilinear) — only the native-less fallback materializes a flipped
+        # copy (1.3 ms/img at 640x480).
+        flip = bool(self.horizontal_flip and rng.uniform() > 0.5)
+        if flip:
             boxes_norm = flip_boxes_horizontal(boxes_norm)
 
         th, tw = self.target_h, self.target_w
@@ -149,15 +155,26 @@ class HostPreprocessor:
             draw = rng.uniform(0, 1, size=2).astype(f32)
             offset = (max_offset * draw).astype(np.int64)
 
-        if _HAS_CV2:
-            # One-pass warpAffine fuses resize + crop + mean-pad and only
-            # ever computes TARGET-sized output: with scale jitter > 1 the
-            # resize-then-crop path materializes a (jitter*target)^2 image
-            # and throws most of it away (measured 10.8 -> ~3 ms/img at
-            # 640x640, the host pipeline's dominant cost). The sampling
-            # grid matches resize+crop's half-pixel convention; pixel
-            # values agree to cv2 fixed-point rounding (a few LSB).
-            sy, sx = float(image_scale[0]), float(image_scale[1])
+        sy, sx = float(image_scale[0]), float(image_scale[1])
+        valid_h = min(th, int(scaled_shape[0]) - int(offset[0]))
+        valid_w = min(tw, int(scaled_shape[1]) - int(offset[1]))
+        # Preferred path: the native fused resampler computes resize +
+        # crop + flip + mean-pad in one GIL-free separable pass and only
+        # ever touches TARGET-sized output (with jitter > 1 resize-then-
+        # crop materializes a (jitter*target)^2 image; with jitter < 1
+        # cv2.warpAffine computes the replicate border it then overwrites).
+        # Float weights land within 1-2 LSB of the reference's float
+        # tf.image.resize (cv2's 5-bit fixed point: ~3 LSB). Measured
+        # 4.4 (warpAffine + flip copy) -> ~1.5 ms/img at 640x640.
+        out = _native.resample_bilinear(
+            image.astype(work_dtype, copy=False), (th, tw),
+            (valid_h, valid_w), (sy, sx),
+            (float(offset[0]), float(offset[1])), flip, self.mean)
+        if out is None and _HAS_CV2:
+            if flip:
+                image = np.ascontiguousarray(image[:, ::-1, :])
+            # warpAffine fuses resize + crop into target-sized output; the
+            # sampling grid matches resize+crop's half-pixel convention.
             m_inv = np.array(
                 [[1.0 / sx, 0.0, (offset[1] + 0.5) / sx - 0.5],
                  [0.0, 1.0 / sy, (offset[0] + 0.5) / sy - 0.5]], np.float64)
@@ -170,14 +187,14 @@ class HostPreprocessor:
                 image.astype(work_dtype, copy=False), m_inv, (tw, th),
                 flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
                 borderMode=cv2.BORDER_REPLICATE)
-            valid_h = min(th, int(scaled_shape[0]) - int(offset[0]))
-            valid_w = min(tw, int(scaled_shape[1]) - int(offset[1]))
             pad_val = self.mean.astype(work_dtype)
             if valid_h < th:
                 out[valid_h:] = pad_val
             if valid_w < tw:
                 out[:, valid_w:] = pad_val
-        else:
+        elif out is None:
+            if flip:
+                image = np.ascontiguousarray(image[:, ::-1, :])
             resized = _resize(
                 image, (int(scaled_shape[0]), int(scaled_shape[1])),
                 dtype=work_dtype)
@@ -249,11 +266,16 @@ class HostPreprocessor:
                        .astype(np.float32))
         scaled = np.round(hw * scale)
         resize_scale = (scaled / hw).astype(np.float32)
-        resized = _resize(image, (int(scaled[0]), int(scaled[1])),
-                          dtype=work_dtype)
-        out = np.empty((th, tw, 3), dtype=work_dtype)
-        out[:] = self.mean.astype(work_dtype)
-        out[:resized.shape[0], :resized.shape[1]] = resized
+        out = _native.resample_bilinear(
+            image, (th, tw), (int(scaled[0]), int(scaled[1])),
+            (float(resize_scale[0]), float(resize_scale[1])),
+            (0.0, 0.0), False, self.mean)
+        if out is None:
+            resized = _resize(image, (int(scaled[0]), int(scaled[1])),
+                              dtype=work_dtype)
+            out = np.empty((th, tw, 3), dtype=work_dtype)
+            out[:] = self.mean.astype(work_dtype)
+            out[:resized.shape[0], :resized.shape[1]] = resized
         return out, resize_scale.astype(np.float32)
 
 

@@ -263,3 +263,97 @@ def test_decode_jpeg_png_fallback():
     ok, enc = cv2.imencode(".png", img[:, :, ::-1])
     assert ok
     np.testing.assert_array_equal(decode_jpeg(enc.tobytes()), img)
+
+
+# ---------------------------------------------------------------------------
+# native fused resampler (native/resample_native.cpp)
+# ---------------------------------------------------------------------------
+
+def _np_bilinear(src, vh, vw, sy, sx, off_y, off_x, flip):
+    """From-spec bilinear reference: half-pixel centers, clamp at edge."""
+    src = src.astype(np.float64)
+    sh, sw = src.shape[:2]
+    fy = (np.arange(vh) + off_y + 0.5) / sy - 0.5
+    u = (np.arange(vw) + off_x + 0.5) / sx - 0.5
+    if flip:
+        u = (sw - 1) - u
+    y0 = np.clip(np.floor(fy), 0, sh - 1).astype(int)
+    x0 = np.clip(np.floor(u), 0, sw - 1).astype(int)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = np.clip(fy - y0, 0, 1)[:, None, None]
+    wx = np.clip(u - x0, 0, 1)[None, :, None]
+    a = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    b = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    return a * (1 - wy) + b * wy
+
+
+@pytest.mark.parametrize("shape,scale,off,flip", [
+    ((37, 53), (1.7, 1.7), (3, 9), False),     # upscale + crop
+    ((37, 53), (0.41, 0.41), (0, 0), True),    # downscale + flip
+    ((1, 1), (8.0, 8.0), (0, 0), False),       # degenerate 1x1 source
+    ((2, 640), (0.9, 0.9), (0, 14), True),     # extreme aspect
+    ((128, 96), (1.0, 1.0), (0, 0), False),    # identity scale
+])
+def test_native_resample_matches_from_spec(shape, scale, off, flip):
+    """The C resampler agrees with an independent from-spec numpy bilinear
+    (half-pixel centers, clamp at edge) on both dtype lanes, including the
+    folded flip and the mean-pad region."""
+    from retinanet_tpu.data import native as native_codec
+    if native_codec.get_resample_lib() is None:
+        pytest.skip("native resample lib unavailable")
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (*shape, 3), np.uint8)
+    th, tw = 32, 40
+    vh = min(th, int(shape[0] * scale[0]) - off[0])
+    vw = min(tw, int(shape[1] * scale[1]) - off[1])
+    vh, vw = max(vh, 0), max(vw, 0)
+    pad = np.array([123.675, 116.28, 103.53], np.float32)
+
+    want = _np_bilinear(src, vh, vw, scale[0], scale[1], off[0], off[1], flip)
+
+    got8 = native_codec.resample_bilinear(
+        src, (th, tw), (vh, vw), scale, off, flip, pad)
+    assert got8.shape == (th, tw, 3) and got8.dtype == np.uint8
+    assert np.abs(got8[:vh, :vw].astype(float) - want).max() <= 1.0
+    # pad region: truncated-to-uint8 mean everywhere outside the valid box
+    assert (got8[vh:] == pad.astype(np.uint8)).all()
+    assert (got8[:, vw:] == pad.astype(np.uint8)).all()
+
+    gotf = native_codec.resample_bilinear(
+        src.astype(np.float32), (th, tw), (vh, vw), scale, off, flip, pad)
+    assert gotf.dtype == np.float32
+    np.testing.assert_allclose(gotf[:vh, :vw], want, atol=2e-3)
+    assert (gotf[vh:] == pad).all() and (gotf[:, vw:] == pad).all()
+
+
+def test_native_resample_flip_fold_equals_explicit_flip():
+    """Folding the flip into sampling coords == flipping the image first
+    (exact in float; the uint8 lane shares one rounding)."""
+    from retinanet_tpu.data import native as native_codec
+    if native_codec.get_resample_lib() is None:
+        pytest.skip("native resample lib unavailable")
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (41, 29, 3), np.uint8)
+    pad = np.zeros(3, np.float32)
+    kw = dict(out_hw=(24, 24), valid_hw=(24, 24),
+              scale_yx=(0.6, 0.9), offset_yx=(0.0, 1.0), pad_rgb=pad)
+    folded = native_codec.resample_bilinear(src, flip=True, **kw)
+    explicit = native_codec.resample_bilinear(
+        np.ascontiguousarray(src[:, ::-1]), flip=False, **kw)
+    np.testing.assert_array_equal(folded, explicit)
+
+
+def test_native_resample_rejects_bad_geometry():
+    from retinanet_tpu.data import native as native_codec
+    if native_codec.get_resample_lib() is None:
+        pytest.skip("native resample lib unavailable")
+    src = np.zeros((4, 4, 3), np.uint8)
+    pad = np.zeros(3, np.float32)
+    # valid region larger than the canvas -> refused, not overflowed
+    assert native_codec.resample_bilinear(
+        src, (8, 8), (9, 8), (2.0, 2.0), (0, 0), False, pad) is None
+    # unsupported dtype falls back
+    assert native_codec.resample_bilinear(
+        src.astype(np.float64), (8, 8), (8, 8), (2.0, 2.0), (0, 0),
+        False, pad) is None
