@@ -102,6 +102,9 @@ _DEFAULTS: dict = {
         "remap_class_ids": True,
         "steps_per_execution": 1,
         "log_every": 20,  # metric fetch/log cadence when spe == 1
+        # >1: 2-D (data, spatial) mesh — images sharded along H, GSPMD
+        # halo-exchanged convs (per-image parallelism for high-res configs)
+        "spatial_partition": 1,
         "save_every": 1000,
         "recovery": {
             "use_inflection_detector": False,

@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -43,11 +44,35 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
-                axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+                axis_name: str = DATA_AXIS,
+                spatial: int = 1) -> Mesh:
+    """Data-parallel mesh over all (or the given) devices.
+
+    With ``spatial > 1`` the mesh is 2-D ``(data, spatial)``: images are
+    additionally sharded along H over the spatial axis (see
+    ``shard_batch``), and GSPMD turns the convolutions into
+    halo-exchanged partial convs over ICI — TPU spatial partitioning.
+    This trades batch-parallel replicas for per-image parallelism, the
+    lever for high-resolution configs (e.g. the 1280x1280 reference
+    config) where per-chip memory, not batch size, is the binding
+    constraint. The reference's TF2 strategies had no equivalent (TF
+    spatial partitioning was TPUEstimator-only).
+
+    Multi-process note: local devices must form whole spatial groups
+    (data axis across hosts, spatial within a host) — the default
+    reshape of jax.devices() does exactly that on TPU pods, where
+    process-local devices are contiguous.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if spatial <= 1:
+        return Mesh(devices, (axis_name,))
+    if len(devices) % spatial:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by spatial={spatial}")
+    return Mesh(devices.reshape(len(devices) // spatial, spatial),
+                (axis_name, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
@@ -104,8 +129,16 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
             spec = P()
             axis = None
         else:
-            spec = P(*([None] * axis), axis_name,
-                     *([None] * (x.ndim - axis - 1)))
+            dims = [None] * x.ndim
+            dims[axis] = axis_name
+            # 2-D (data, spatial) mesh: image-rank leaves (B, H, W, C)
+            # additionally shard H over the spatial axis — GSPMD inserts
+            # the conv halo exchanges. Label leaves (boxes/classes/valid,
+            # rank <= 3) stay data-sharded only.
+            if (SPATIAL_AXIS in mesh.shape and x.ndim - axis >= 4
+                    and x.shape[axis + 1] % mesh.shape[SPATIAL_AXIS] == 0):
+                dims[axis + 1] = SPATIAL_AXIS
+            spec = P(*dims)
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)

@@ -90,7 +90,8 @@ class Executor:
         self.use_ema = bool(t.optimizer.get("use_moving_average", False))
         self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
 
-        self.mesh = mesh_lib.create_mesh()
+        self.mesh = mesh_lib.create_mesh(
+            spatial=int(t.get("spatial_partition", 1)))
         self.compute_dtype = _compute_dtype(params.floatx.precision)
 
         # -- model / loss / optimizer ----------------------------------------
