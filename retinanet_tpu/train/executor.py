@@ -25,6 +25,7 @@ TPU-native:
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Callable, Dict, Iterator, Optional
 
@@ -297,6 +298,37 @@ class Executor:
             logging.info("Stopped profiler at step %d", step)
 
     def _run_training_loop(self) -> bool:
+        """Body of one training trial, wrapped in a SIGTERM trap.
+
+        Cloud TPU / GCE maintenance and spot preemption deliver SIGTERM
+        with a grace window before the VM dies. The trap checkpoints at
+        the next step boundary and returns cleanly so a relaunch resumes
+        exactly where the run stopped — the reference had no handler and
+        lost up to `save_every` steps on every preemption (reference
+        executor.py:280-281 restores only whatever the periodic save
+        left). Each pod host traps its own signal; the resulting orbax
+        save is the same collective save as a `save_every` crossing.
+        """
+        self._preempt_requested = False
+
+        def _on_sigterm(signum, frame):
+            del signum, frame
+            self._preempt_requested = True
+            logging.warning(
+                "SIGTERM: will checkpoint at the next step boundary "
+                "and exit cleanly")
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not on the main thread (embedded/test use)
+            prev_sigterm = None
+        try:
+            return self._training_trial()
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+
+    def _training_trial(self) -> bool:
         state = self.state
         current = int(state.step)
         if current >= self.train_steps:
@@ -335,6 +367,17 @@ class Executor:
             prev = current
             current += spe
             self.state = state
+
+            if self._preempt_requested:
+                if self._profiling:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                current = int(state.step)  # sync: step actually applied
+                self._save_checkpoint(current)
+                logging.warning(
+                    "Preemption checkpoint saved at step %d; exiting "
+                    "cleanly (relaunch resumes from here)", current)
+                return True
 
             # Fetch metrics to host only at logging cadence — each fetch is
             # a device round trip and would otherwise serialize the async
