@@ -28,8 +28,12 @@ flags.DEFINE_boolean("int8", False, "Also write int8-quantized weights")
 flags.DEFINE_boolean("int8_activations", False,
                      "Calibrate per-tensor activation scales and report "
                      "int8-activation serving quality (TRT INT8 parity)")
-flags.DEFINE_string("calibration_mode", "entropy",
-                    "minmax | percentile | entropy")
+flags.DEFINE_string("calibration_mode", "minmax",
+                    "minmax | percentile | entropy. Default minmax: on a "
+                    "trained ResNet50-640 the measured mAP deltas were "
+                    "minmax 0.0035, percentile 0.0053, entropy 0.1413 — "
+                    "the TRT-style KL sweep over-clips deep detection "
+                    "models (tools/int8_quality_check.py)")
 flags.DEFINE_boolean("require_real_calibration", False,
                      "Hard-fail int8 activation calibration if the real "
                      "val data stream is unavailable (instead of falling "

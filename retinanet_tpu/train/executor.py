@@ -24,6 +24,7 @@ TPU-native:
 
 from __future__ import annotations
 
+import json
 import os
 import signal
 import time
@@ -80,6 +81,14 @@ class Executor:
                 params.experiment.name))
         os.makedirs(self.model_dir, exist_ok=True)
         self.resume_from = resume_from
+        # dump the validated config next to the checkpoints so a run is
+        # self-describing (reference executor.py:283-288); chief only on
+        # multi-process so hosts don't race the write
+        if jax.process_index() == 0:
+            cfg_path = os.path.join(
+                self.model_dir, f"{params.experiment.name}.json")
+            with open(cfg_path, "w") as f:
+                json.dump(params.to_dict(), f, indent=4)
 
         t = params.training
         self.train_steps = int(t.train_steps)

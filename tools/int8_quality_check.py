@@ -29,6 +29,12 @@ FLAGS = flags.FLAGS
 # tools.overfit_check (imported for make_params) already defines --workdir
 flags.DEFINE_string("int8_workdir", None, "overfit_check workdir")
 flags.DEFINE_string("mode", "entropy", "minmax | percentile | entropy")
+
+# geometry flags (--input_size/--resnet_depth/--fpn_filters/--head_convs)
+# are shared with tools.overfit_check — import it at module scope so they
+# are registered before absl parses argv; pass the same values used for
+# the overfit run.
+from tools import overfit_check as _overfit_check  # noqa: E402
 flags.mark_flag_as_required("int8_workdir")
 
 
@@ -43,12 +49,16 @@ def main(argv):
     from retinanet_tpu.export.quantize import Int8Model
     from retinanet_tpu.ops.postprocess import make_inference_fn
     from retinanet_tpu.train.executor import Executor
-    from tools.overfit_check import make_params
+    make_params = _overfit_check.make_params
 
     workdir = FLAGS.int8_workdir
     pattern = os.path.join(workdir, "data", "train-*")
     ann = glob.glob(os.path.join(workdir, "data", "annotations_*.json"))[0]
-    params = make_params(workdir, pattern, ann, steps=300)
+    params = make_params(workdir, pattern, ann, steps=300,
+                         input_size=FLAGS.input_size,
+                         depth=FLAGS.resnet_depth,
+                         filters=FLAGS.fpn_filters,
+                         head_convs=FLAGS.head_convs)
 
     ex = Executor(params, run_mode="val",
                   val_input_fn=lambda: InputPipeline("val", params),
@@ -58,10 +68,18 @@ def main(argv):
     fp_scores = ex.evaluate()
     logging.info("fp scores: %s", fp_scores)
 
-    # calibrate on the real data stream
+    # calibrate on the real data stream; at production resolution feed
+    # single-image batches — the histogram pass materializes per-conv
+    # stats over every intermediate and a bs=8 640x640 pass overflows
+    # this chip during calibration (stats merge across batches anyway)
     batches = []
     for i, batch in enumerate(ex.val_input_fn()):
-        batches.append(batch["image"])
+        img = batch["image"]
+        if FLAGS.input_size >= 512:
+            batches.extend(np.asarray(img[j:j + 1])
+                           for j in range(img.shape[0]))
+        else:
+            batches.append(img)
         if i >= 1:
             break
     variables = {"params": jax.device_get(ex.state.params),

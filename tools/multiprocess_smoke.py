@@ -195,9 +195,30 @@ def child(process_id: int) -> None:
     np.testing.assert_array_equal(meta["image_id"], np.arange(8))
     assert meta["resize_scale"].shape == (8, 2)
 
+    # 6. round-3 spatial partitioning across REAL processes: 2-D
+    # (data, spatial) mesh — data axis spans both processes, each
+    # process's local devices form whole spatial groups. Same step, same
+    # per-process batch halves; the loss must match the 1-D run (the
+    # spatial axis changes the collective schedule, not the math).
+    mesh_sp = mesh_lib.create_mesh(spatial=2)
+    assert mesh_sp.shape == {"data": 8 // 2, "spatial": 2}
+    # `variables`' buffers were donated with the 1-D state above —
+    # re-init deterministically (same PRNGKey -> identical values)
+    variables_sp = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    state_sp = jax.device_put(create_train_state(variables_sp, tx),
+                              mesh_lib.replicated(mesh_sp))
+    batch_sp = mesh_lib.shard_batch(local_batch, mesh_sp)
+    img_shards = {s.data.shape
+                  for s in batch_sp["image"].addressable_shards}
+    assert img_shards == {(2, 32, 64, 3)}, img_shards  # B/4, H/2
+    _, metrics_sp = train_step(state_sp, batch_sp)
+    loss_sp = float(metrics_sp["total-loss"])
+    assert abs(loss_sp - loss) <= 1e-5 * abs(loss), (loss_sp, loss)
+
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"shardedval ok, loss={loss:.6f} evaldigest={digest:.6f}",
-          flush=True)
+          f"shardedval ok, spatial ok, loss={loss:.6f} "
+          f"evaldigest={digest:.6f}", flush=True)
 
 
 def parent() -> None:

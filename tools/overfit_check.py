@@ -26,22 +26,33 @@ flags.DEFINE_integer("steps", 300, "Train steps")
 flags.DEFINE_integer("num_images", 16, "Synthetic dataset size")
 flags.DEFINE_float("target_ap", 0.3, "Required AP@0.5 after overfitting")
 flags.DEFINE_string("workdir", None, "Working directory (default: temp)")
+flags.DEFINE_integer("input_size", 128, "Square input resolution")
+flags.DEFINE_integer("resnet_depth", 18, "ResNet depth")
+flags.DEFINE_integer("fpn_filters", 64, "FPN filters")
+flags.DEFINE_integer("head_convs", 2, "Head conv count")
 
 
-def make_params(workdir, pattern, ann, steps):
+def make_params(workdir, pattern, ann, steps, input_size=128, depth=18,
+                filters=64, head_convs=2):
     """The overfit experiment config — shared with tools/int8_quality_check.py
-    so the int8 evaluation runs on the exact trained model."""
+    so the int8 evaluation runs on the exact trained model. Geometry kwargs
+    scale it up to flagship shape (640 / resnet50 / 256 filters / 4 convs)
+    for production-resolution quality evidence; precision switches to
+    mixed_bfloat16 at >=640 to match the flagship configs."""
     from retinanet_tpu.core import config as cfg
     return cfg.from_dict({
         "experiment": {"name": "overfit",
                        "model_dir": os.path.join(workdir, "models")},
-        "input": {"input_shape": [128, 128], "channels": 3},
-        "floatx": {"precision": "float32"},
+        "input": {"input_shape": [input_size, input_size], "channels": 3},
+        "floatx": {"precision":
+                   "mixed_bfloat16" if input_size >= 640 else "float32"},
         "architecture": {
-            "backbone": {"type": "resnet", "depth": 18},
-            "feature_fusion": {"type": "fpn", "filters": 64, "min_level": 3,
+            "backbone": {"type": "resnet", "depth": depth},
+            "feature_fusion": {"type": "fpn", "filters": filters,
+                               "min_level": 3,
                                "max_level": 6, "backbone_max_level": 5},
-            "head": {"num_convs": 2, "filters": 64, "num_classes": 6,
+            "head": {"num_convs": head_convs, "filters": filters,
+                     "num_classes": 6,
                      "num_anchors": 9},
         },
         "anchor_params": {
@@ -86,7 +97,11 @@ def main(argv):
         samples_per_shard=FLAGS.num_images, num_classes=6,
         write_annotations=True, seed=11)
 
-    params = make_params(workdir, pattern, ann, FLAGS.steps)
+    params = make_params(workdir, pattern, ann, FLAGS.steps,
+                         input_size=FLAGS.input_size,
+                         depth=FLAGS.resnet_depth,
+                         filters=FLAGS.fpn_filters,
+                         head_convs=FLAGS.head_convs)
 
     ex = Executor(
         params, run_mode="train_val",
