@@ -139,7 +139,15 @@ class BottleneckBlock(nn.Module):
 
 
 class BlockGroup(nn.Module):
-    """First block projects/strides; the rest are identity (ref:252-287)."""
+    """First block projects/strides; the rest are identity (ref:252-287).
+
+    ``remat`` wraps each block in ``nn.remat`` (jax.checkpoint): only
+    block-boundary activations are kept live for the backward pass and
+    everything inside a block is recomputed — the standard TPU
+    FLOPs-for-HBM trade that lets high-resolution configs (e.g. the
+    1280x1280 reference config) fit a useful per-chip batch. Lifted
+    transform: parameter names/values are identical with or without it.
+    """
     filters: int
     block_type: str
     blocks: int
@@ -147,11 +155,14 @@ class BlockGroup(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         block_cls = (BottleneckBlock if self.block_type == "bottleneck"
                      else ResidualBlock)
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = block_cls(self.filters, self.strides, use_projection=True,
                       bn_momentum=self.bn_momentum,
                       bn_epsilon=self.bn_epsilon, dtype=self.dtype,
@@ -170,6 +181,7 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -192,6 +204,6 @@ class ResNet(nn.Module):
                 filters=filters[i], block_type=block_type, blocks=layers[i],
                 strides=strides[i], bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon, dtype=self.dtype,
-                name=f"group{i + 1}")(x, train)
+                remat=self.remat, name=f"group{i + 1}")(x, train)
             outputs[str(i + 2)] = x
         return outputs

@@ -85,9 +85,15 @@ def build_backbone(params, bn, dtype) -> nn.Module:
     (reference model/backbone/builder.py:7-33)."""
     kind = params.backbone.type
     common = dict(bn_momentum=bn.momentum, bn_epsilon=bn.epsilon, dtype=dtype)
+    remat = bool(params.backbone.get("remat", False))
     if kind == "resnet":
-        return ResNet(depth=int(params.backbone.depth), name="backbone",
-                      **common)
+        return ResNet(depth=int(params.backbone.depth), remat=remat,
+                      name="backbone", **common)
+    if remat:
+        raise ValueError(
+            "backbone.remat is currently supported for resnet backbones "
+            f"only (got type={kind!r}); refusing to silently ignore a "
+            "memory policy")
     if kind.startswith("efficientnet"):
         return efficientnet_lib.EfficientNet.from_name(
             kind, name="backbone",
