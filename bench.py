@@ -201,7 +201,10 @@ def main():
         "achieved_tflops_train": round(achieved_tflops_train, 1),
         "achieved_tflops_infer": round(
             fwd_flops_img * infer_fps / 1e12, 1),
-        "mfu_train": round(achieved_tflops_train / PEAK_BF16_TFLOPS, 3),
+        # peak scales with attached chips: achieved_tflops_train is a
+        # whole-job number (global batch / wall time)
+        "mfu_train": round(
+            achieved_tflops_train / (PEAK_BF16_TFLOPS * n_chips), 3),
         "measured_hbm_gbps": round(hbm_gbps, 1),
         "input_bound_imgs_per_sec": round(e2e_imgs_per_sec, 1),
         # host pipeline alone (native GIL-free JPEG decode -> native fused

@@ -87,9 +87,14 @@ def main(argv):
         # gather — Executor.evaluate). Matches reference executor.py:178-202
         # sharding one val dataset across hosts.
         count = jax.process_count() if FLAGS.is_multi_host else 1
+        # loud error on indivisible val batch / process count — floor
+        # division would silently shrink validation coverage
+        local_bs = (mesh_lib.local_batch_size(
+            int(params.training.batch_size.val)) if count > 1
+            else int(params.training.batch_size.val))
         return InputPipeline(
             "val", params, is_multi_host=False,
-            batch_size=int(params.training.batch_size.val) // count,
+            batch_size=local_bs,
             seed=FLAGS.global_seed,
             val_shard_index=jax.process_index() if count > 1 else 0,
             val_shard_count=count)

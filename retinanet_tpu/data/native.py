@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -18,39 +19,9 @@ import numpy as np
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_NATIVE_DIR, "tfrecord_native.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libtfrecord_native.so")
-
-_lib: Optional[ctypes.CDLL] = None
-_load_failed = False
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB, _SRC],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
-
-def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
-        if not os.path.exists(_SRC) or not _build():
-            _load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError:
-        _load_failed = True
-        return None
+def _configure_tfrecord(lib: ctypes.CDLL) -> None:
     lib.tfr_index.restype = ctypes.c_int64
     lib.tfr_index.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -66,8 +37,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
     lib.tfr_masked_crc32c.restype = ctypes.c_uint32
     lib.tfr_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-    _lib = lib
-    return _lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    return _load_native_lib("tfrecord_native", [], _configure_tfrecord)
 
 
 def available() -> bool:
@@ -127,6 +100,7 @@ def parse_detection_example(record: bytes,
 # ---------------------------------------------------------------------------
 
 _lib_cache: Dict[str, Optional[ctypes.CDLL]] = {}
+_lib_lock = threading.Lock()
 
 
 def _load_native_lib(basename: str, extra_link: List[str],
@@ -134,31 +108,43 @@ def _load_native_lib(basename: str, extra_link: List[str],
     """Compile native/<basename>.cpp to a cached .so and dlopen it.
 
     Returns None (and caches the failure) when the toolchain, source, or a
-    link dependency is unavailable — callers fall back to cv2/numpy."""
-    if basename in _lib_cache:
-        return _lib_cache[basename]
-    src = os.path.join(_NATIVE_DIR, f"{basename}.cpp")
-    lib_path = os.path.join(_NATIVE_DIR, f"lib{basename}.so")
-    _lib_cache[basename] = None
-    if not os.path.exists(lib_path) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(lib_path)):
-        if not os.path.exists(src):
-            return None
+    link dependency is unavailable — callers fall back to cv2/numpy.
+
+    Concurrency-safe: a module lock serializes first-use from the input
+    pipeline's worker threads, and the compile writes to a per-process
+    temp file that is os.replace'd into place atomically, so concurrent
+    PROCESSES (multi-host training, the 2-process harness) never dlopen a
+    partially written .so."""
+    with _lib_lock:
+        if basename in _lib_cache:
+            return _lib_cache[basename]
+        src = os.path.join(_NATIVE_DIR, f"{basename}.cpp")
+        lib_path = os.path.join(_NATIVE_DIR, f"lib{basename}.so")
+        _lib_cache[basename] = None
+        if not os.path.exists(lib_path) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(lib_path)):
+            if not os.path.exists(src):
+                return None
+            tmp = f"{lib_path}.tmp.{os.getpid()}"
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", tmp, src] + extra_link,
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, lib_path)
+            except Exception:
+                return None
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", lib_path, src] + extra_link,
-                check=True, capture_output=True, timeout=120)
-        except Exception:
+            lib = ctypes.CDLL(lib_path)
+        except OSError:
             return None
-    try:
-        lib = ctypes.CDLL(lib_path)
-    except OSError:
-        return None
-    configure(lib)
-    _lib_cache[basename] = lib
-    return lib
+        configure(lib)
+        _lib_cache[basename] = lib
+        return lib
 
 
 # ---------------------------------------------------------------------------

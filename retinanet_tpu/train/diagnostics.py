@@ -124,6 +124,10 @@ class MetricsLogger:
             except Exception:
                 self._tb = None
 
+    @property
+    def has_tensorboard(self) -> bool:
+        return self._tb is not None
+
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         clean = {k: float(v) for k, v in scalars.items()}
         self._jsonl.write(json.dumps({"step": int(step), **clean}) + "\n")

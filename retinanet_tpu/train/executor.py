@@ -54,6 +54,23 @@ from retinanet_tpu.train.train_state import TrainState, create_train_state
 _RUN_MODES = ("train", "val", "train_val", "continuous_eval", "export")
 
 
+def agree_preemption(local_flag: bool) -> bool:
+    """Cross-process OR of the per-host SIGTERM flag.
+
+    Signal delivery on a pod is per-host and unsynchronized; every host
+    must act on the SAME verdict at the SAME step boundary or one host
+    exits into the collective checkpoint save while the rest dispatch
+    the next step's all-reduce (distributed deadlock). Hosts call this
+    at a deterministic cadence (see _training_trial), so the allgather
+    itself lines up. Exposed at module level so the true 2-process
+    harness (tools/multiprocess_smoke.py) exercises the production
+    agreement path.
+    """
+    from jax.experimental import multihost_utils
+    return bool(np.any(multihost_utils.process_allgather(
+        np.asarray([bool(local_flag)]))))
+
+
 class Executor:
     def __init__(self,
                  params: ConfigDict,
@@ -315,8 +332,10 @@ class Executor:
         exactly where the run stopped — the reference had no handler and
         lost up to `save_every` steps on every preemption (reference
         executor.py:280-281 restores only whatever the periodic save
-        left). Each pod host traps its own signal; the resulting orbax
-        save is the same collective save as a `save_every` crossing.
+        left). Each pod host traps its own signal; multi-process runs
+        agree on the flag via a scheduled allgather before acting (see
+        the loop body), so every host enters the collective orbax save
+        at the same step.
         """
         self._preempt_requested = False
 
@@ -360,6 +379,12 @@ class Executor:
         # it (default 20); multi-step configs already fetch once per scan.
         log_every = spe if multi_step else max(
             1, int(self.params.training.get("log_every", 20)))
+        if self._use_inflection and not multi_step:
+            # the detector samples the watched metric at the log cadence;
+            # the reference checked EVERY outer step (spe=1 -> every
+            # step). A 20-step cadence would miss short divergence spikes
+            # entirely, so detector users pay the per-step fetch.
+            log_every = 1
         while current < self.train_steps:
             t0 = time.time()
             if multi_step:
@@ -377,7 +402,29 @@ class Executor:
             current += spe
             self.state = state
 
-            if self._preempt_requested:
+            # Fetch metrics to host only at logging cadence — each fetch is
+            # a device round trip and would otherwise serialize the async
+            # dispatch pipeline (the reference's steps_per_execution solved
+            # the same problem on the TF side, executor.py:605-621).
+            should_log = (current % log_every == 0
+                          or current >= self.train_steps)
+
+            # Preemption: signal delivery is per-host and unsynchronized —
+            # acting on the local flag alone would have one host exit into
+            # the collective save while others dispatch the next step's
+            # all-reduce (distributed deadlock). Multi-process runs agree
+            # on the flag with a tiny allgather at a DETERMINISTIC cadence
+            # (every outer step when spe > 1, else the log cadence, so
+            # spe=1 async dispatch is not serialized by a per-step host
+            # collective); hosts are in lockstep on `current`, so every
+            # host then saves the same step. Worst-case reaction latency
+            # is one log interval — well inside a preemption grace window.
+            if jax.process_count() > 1:
+                preempt = (agree_preemption(self._preempt_requested)
+                           if (multi_step or should_log) else False)
+            else:
+                preempt = self._preempt_requested
+            if preempt:
                 if self._profiling:
                     jax.profiler.stop_trace()
                     self._profiling = False
@@ -387,13 +434,6 @@ class Executor:
                     "Preemption checkpoint saved at step %d; exiting "
                     "cleanly (relaunch resumes from here)", current)
                 return True
-
-            # Fetch metrics to host only at logging cadence — each fetch is
-            # a device round trip and would otherwise serialize the async
-            # dispatch pipeline (the reference's steps_per_execution solved
-            # the same problem on the TF side, executor.py:605-621).
-            should_log = (current % log_every == 0
-                          or current >= self.train_steps)
             if should_log:
                 metrics = jax.device_get(metrics)
                 current = int(state.step)
@@ -597,15 +637,17 @@ class Executor:
                 for k in key_path)
             scalars[f"weights/{name}"] = float(value)
         self.metrics.log(step, scalars)
-        # value histograms too (reference executor.py:329-344); one
-        # device_get of the params at the weights-info cadence
-        flat_p, _ = jax.tree_util.tree_flatten_with_path(
-            jax.device_get(self.state.params))
-        self.metrics.log_histograms(step, {
-            "weights-hist/" + "/".join(
-                str(getattr(k, "key", getattr(k, "idx", k)))
-                for k in key_path): value
-            for key_path, value in flat_p})
+        # value histograms too (reference executor.py:329-344); histograms
+        # are TensorBoard-only, so skip the whole-model device_get (100+ MB
+        # over a tunneled link) when no TB writer exists
+        if self.metrics.has_tensorboard:
+            flat_p, _ = jax.tree_util.tree_flatten_with_path(
+                jax.device_get(self.state.params))
+            self.metrics.log_histograms(step, {
+                "weights-hist/" + "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in key_path): value
+                for key_path, value in flat_p})
 
     # -------------------------------------------------------- introspection
 

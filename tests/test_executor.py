@@ -206,6 +206,10 @@ def test_inflection_recovery(tmp_path, data):
                       "train", params, max_boxes=20),
                   enable_tensorboard=False)
     assert ex.train()
+    # the detector must sample EVERY step at spe=1 (reference checked each
+    # outer step) — the log_every fetch cadence must not starve it of
+    # short divergence spikes (round-3 review finding)
+    assert len(ex._inflection.data) == 4
 
 
 def test_weights_info_norms_and_histograms(data, tmp_path):

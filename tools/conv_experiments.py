@@ -181,7 +181,8 @@ def chained_total(groups, spec_of, iters=8):
     data dependency — one compile instead of 2-per-spec, and the sum is
     the quantity of interest (the achievable conv floor). Inputs derive
     from the runtime carry (iota + carry) so nothing constant-folds.
-    Per-spec counts are applied analytically to the reported total."""
+    Each spec runs its per-step `count` times INSIDE the chain, so the
+    returned time is the count-weighted total for one step's convs."""
     built = []
     for key, count in groups.items():
         spec = spec_of[key]
@@ -235,7 +236,7 @@ def chained_total(groups, spec_of, iters=8):
     float(out)
     per_chain = (_time.perf_counter() - t0) / iters
     total_flops = sum(f * c for _, _, _, f, c in built)
-    return per_chain * 1e3, per_chain * 1e3, total_flops
+    return per_chain * 1e3, total_flops
 
 
 def main():
@@ -253,9 +254,9 @@ def main():
         spec_of[key] = c
 
     if "--chain" in sys.argv:
-        once_ms, total_ms, total_flops = chained_total(groups, spec_of)
-        print(f"chained once-per-spec: {once_ms:.2f} ms; "
-              f"count-weighted conv total: {total_ms:.2f} ms "
+        total_ms, total_flops = chained_total(groups, spec_of)
+        print(f"count-weighted conv total (all step convs, chained): "
+              f"{total_ms:.2f} ms "
               f"({total_flops / 1e12:.2f} TFLOP -> "
               f"{total_flops / (total_ms / 1e3) / 1e12:.1f} TFLOP/s)")
         return

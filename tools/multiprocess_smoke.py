@@ -20,6 +20,8 @@ Checks:
     the mocked layouts couldn't: shard_batch's global-vs-local
     divisibility fallback, and process_allgather requiring tiled=True
     for global arrays (the default raises on a real pod)
+  * preemption agreement: a SIGTERM flag raised on one host is seen by
+    ALL hosts through the production agree_preemption collective
 
 Topology is parameterized: MPSMOKE_PROCS=4 runs 4 processes x 2 devices.
 Measured: the loss is bit-identical across BOTH topologies (2x4 and 4x2)
@@ -216,8 +218,17 @@ def child(process_id: int) -> None:
     loss_sp = float(metrics_sp["total-loss"])
     assert abs(loss_sp - loss) <= 1e-5 * abs(loss), (loss_sp, loss)
 
+    # 7. preemption agreement (round-3 review fix): SIGTERM lands on ONE
+    # host; every host must reach the same verdict before entering the
+    # collective checkpoint save. Exercise the production helper with an
+    # asymmetric flag (only process 0 "received" the signal), then with
+    # no signal anywhere.
+    from retinanet_tpu.train.executor import agree_preemption
+    assert agree_preemption(process_id == 0) is True
+    assert agree_preemption(False) is False
+
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"shardedval ok, spatial ok, loss={loss:.6f} "
+          f"shardedval ok, spatial ok, preempt-agree ok, loss={loss:.6f} "
           f"evaldigest={digest:.6f}", flush=True)
 
 
