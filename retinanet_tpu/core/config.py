@@ -102,6 +102,10 @@ _DEFAULTS: dict = {
         "remap_class_ids": True,
         "steps_per_execution": 1,
         "log_every": 20,  # metric fetch/log cadence when spe == 1
+        # sharded batches staged onto the devices N deep by a background
+        # thread, overlapping host->device transfer with the device step
+        # (the analog of tf.data's prefetch + infeed); 0 disables
+        "device_prefetch": 2,
         # >1: 2-D (data, spatial) mesh — images sharded along H, GSPMD
         # halo-exchanged convs (per-image parallelism for high-res configs)
         "spatial_partition": 1,

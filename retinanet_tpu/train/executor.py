@@ -38,6 +38,7 @@ from absl import logging
 from retinanet_tpu.core.config import ConfigDict
 from retinanet_tpu.data import anchors as anchor_lib
 from retinanet_tpu.data.label_encoder import make_batched_encoder
+from retinanet_tpu.data.prefetch import DevicePrefetcher
 from retinanet_tpu.data.preprocessing import make_device_normalizer
 from retinanet_tpu.eval.coco_evaluator import COCOEvaluator
 from retinanet_tpu.losses.losses import RetinaNetLoss
@@ -385,17 +386,35 @@ class Executor:
             # step). A 20-step cadence would miss short divergence spikes
             # entirely, so detector users pay the per-step fetch.
             log_every = 1
-        while current < self.train_steps:
-            t0 = time.time()
+        def make_batch():
             if multi_step:
                 # one scan dispatch over `spe` stacked host batches
                 host_batches = [next(train_iter) for _ in range(spe)]
                 stacked = {k: np.stack([b[k] for b in host_batches])
                            for k in host_batches[0]}
-                sharded = mesh_lib.shard_batch(stacked, self.mesh,
-                                               leading_dims=1)
-            else:
-                sharded = mesh_lib.shard_batch(next(train_iter), self.mesh)
+                return mesh_lib.shard_batch(stacked, self.mesh,
+                                            leading_dims=1)
+            return mesh_lib.shard_batch(next(train_iter), self.mesh)
+
+        # device prefetch: stage sharded batches onto the devices a few
+        # deep in a background thread so the H2D copy of batch N+1 rides
+        # under the device step for batch N (tf.data prefetch + infeed
+        # analog; see data/prefetch.py)
+        depth = int(self.params.training.get("device_prefetch", 2))
+        batches = (DevicePrefetcher(make_batch, depth) if depth > 0
+                   else iter(make_batch, None))
+        try:
+            return self._trial_loop(batches, state, meter, global_bs,
+                                    current, spe, multi_step, log_every)
+        finally:
+            if isinstance(batches, DevicePrefetcher):
+                batches.close()
+
+    def _trial_loop(self, batches, state, meter, global_bs, current,
+                    spe, multi_step, log_every) -> bool:
+        while current < self.train_steps:
+            t0 = time.time()
+            sharded = next(batches)
             state, metrics = self._train_step(state, sharded)
             self._maybe_profile(current)
             prev = current
