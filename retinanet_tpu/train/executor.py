@@ -590,18 +590,11 @@ class Executor:
         # the detections. Unsharded pipelines (every host decodes the full
         # set) keep the round-2 exactly-once slicing path.
         host_sharded = getattr(pipe, "val_shard_count", 1) > 1
-        for batch in pipe:
-            if max_batches is not None and n_batches >= max_batches:
-                break
-            if host_sharded:
-                images = mesh_lib.shard_batch(
-                    {"image": batch["image"]}, self.mesh)["image"]
-            else:
-                images = mesh_lib.shard_global_batch(
-                    {"image": batch["image"]}, self.mesh)["image"]
-            detections = infer(params, self.state.batch_stats, images)
-            meta = {"image_id": batch["image_id"],
-                    "resize_scale": batch["resize_scale"]}
+
+        def _gather_and_accumulate(detections, meta) -> None:
+            """Fetch one batch's detections to the host and score it —
+            called AFTER the next batch's inference is dispatched, so the
+            blocking gather/accumulate overlaps device compute."""
             if jax.process_count() > 1:
                 # cross-host gather (reference strategy.gather,
                 # executor.py:393-399); returns the full global batch's
@@ -627,7 +620,26 @@ class Executor:
                     "detections": detections,
                     "resize_scale": meta["resize_scale"],
                 })
+
+        pending = None  # one-deep inference pipeline
+        for batch in pipe:
+            if max_batches is not None and n_batches >= max_batches:
+                break
+            if host_sharded:
+                images = mesh_lib.shard_batch(
+                    {"image": batch["image"]}, self.mesh)["image"]
+            else:
+                images = mesh_lib.shard_global_batch(
+                    {"image": batch["image"]}, self.mesh)["image"]
+            detections = infer(params, self.state.batch_stats, images)
+            meta = {"image_id": batch["image_id"],
+                    "resize_scale": batch["resize_scale"]}
+            if pending is not None:
+                _gather_and_accumulate(*pending)
+            pending = (detections, meta)
             n_batches += 1
+        if pending is not None:
+            _gather_and_accumulate(*pending)
         logging.info("Evaluated %d batches", n_batches)
         if not is_chief:
             return {}
