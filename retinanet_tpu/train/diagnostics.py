@@ -52,8 +52,9 @@ class DiscordLogger:
     DISCORD_WEB_HOOK env var is set (reference executor.py:87-90)."""
 
     def __init__(self, webhook_url: Optional[str] = None,
-                 username: str = "retinanet_tpu"):
-        self.webhook_url = webhook_url or os.environ.get("DISCORD_WEB_HOOK")
+                 username: str = "retinanet_tpu", enabled_flag: bool = True):
+        self.webhook_url = (webhook_url or os.environ.get(
+            "DISCORD_WEB_HOOK")) if enabled_flag else None
         self.username = username
 
     @property
@@ -111,11 +112,17 @@ class MetricsLogger:
     evaluation/* (reference executor.py:346-383)."""
 
     def __init__(self, log_dir: str, name: str = "train",
-                 use_tensorboard: bool = True):
+                 use_tensorboard: bool = True, enabled: bool = True):
+        # `enabled=False` makes every method a no-op — multi-host runs pass
+        # chief-only so P hosts don't interleave writes into one shared
+        # JSONL / TB event file (model_dir is shared, e.g. gs://)
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, f"{name}_metrics.jsonl"),
                            "a", buffering=1)
-        self._tb = None
         if use_tensorboard:
             try:
                 import tensorflow as tf  # optional, host-side only
@@ -129,6 +136,8 @@ class MetricsLogger:
         return self._tb is not None
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
+        if self._jsonl is None:
+            return
         clean = {k: float(v) for k, v in scalars.items()}
         self._jsonl.write(json.dumps({"step": int(step), **clean}) + "\n")
         if self._tb is not None:
@@ -149,9 +158,11 @@ class MetricsLogger:
                 tf.summary.histogram(k, v, step=step)
 
     def flush(self) -> None:
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

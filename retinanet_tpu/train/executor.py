@@ -173,10 +173,16 @@ class Executor:
                 max_to_keep=10, create=True))
 
         # -- observability ------------------------------------------------------
+        # chief-only sinks: on a pod every host runs this loop against one
+        # shared model_dir — P hosts appending to one JSONL / TB event file
+        # would interleave garbage, and P identical Discord posts per eval
+        # would spam (the reference never hit this: its TF2 pod runs had a
+        # single coordinator process writing summaries)
+        is_chief = jax.process_index() == 0
         self.metrics = MetricsLogger(
             os.path.join(self.model_dir, "logs"), "train",
-            use_tensorboard=enable_tensorboard)
-        self.discord = DiscordLogger()
+            use_tensorboard=enable_tensorboard, enabled=is_chief)
+        self.discord = DiscordLogger(enabled_flag=is_chief)
         rec = t.recovery
         self._use_inflection = bool(rec.use_inflection_detector)
         self._inflection = InflectionDetector(

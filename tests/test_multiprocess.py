@@ -19,6 +19,6 @@ def test_two_process_distributed_smoke():
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "tools",
                                       "multiprocess_smoke.py")],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=540)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIPROCESS SMOKE OK" in out.stdout

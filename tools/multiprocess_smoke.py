@@ -22,6 +22,12 @@ Checks:
     for global arrays (the default raises on a real pod)
   * preemption agreement: a SIGTERM flag raised on one host is seen by
     ALL hosts through the production agree_preemption collective
+  * a REAL Executor run across both processes: multi-host train loop
+    (device prefetch on), preemption raised on ONE host mid-run -> both
+    hosts checkpoint the SAME step via the agreement collective, a fresh
+    Executor resumes and finishes, then full multi-host evaluation
+    (sharded val decode + detection/metadata gather + chief-only COCO
+    scoring + chief-only metrics sink)
 
 Topology is parameterized: MPSMOKE_PROCS=4 runs 4 processes x 2 devices.
 Measured: the loss is bit-identical across BOTH topologies (2x4 and 4x2)
@@ -36,6 +42,10 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # the parent imports retinanet_tpu itself now
+    sys.path.insert(0, _REPO)
 
 PORT = int(os.environ.get("MPSMOKE_PORT", "38571"))
 NPROC = int(os.environ.get("MPSMOKE_PROCS", "2"))
@@ -227,9 +237,122 @@ def child(process_id: int) -> None:
     assert agree_preemption(process_id == 0) is True
     assert agree_preemption(False) is False
 
+    # 8. a REAL Executor across both processes (workdir prepared by the
+    # parent): train with device prefetch, one-host preemption ->
+    # same-step collective checkpoint, fresh-Executor resume to
+    # completion, then full multi-host evaluation.
+    workdir = os.environ["MPSMOKE_WORKDIR"]
+    from retinanet_tpu.core.config import Config
+    from retinanet_tpu.data.pipeline import InputPipeline
+    from retinanet_tpu.train.executor import Executor
+
+    params2 = Config(os.path.join(workdir, "config.json")).params
+
+    def train_fn():
+        return InputPipeline(
+            "train", params2, is_multi_host=True,
+            process_index=jax.process_index(), process_count=NPROC, seed=7)
+
+    def val_fn():
+        return InputPipeline(
+            "val", params2, is_multi_host=False,
+            batch_size=int(params2.training.batch_size.val) // NPROC,
+            seed=7, val_shard_index=jax.process_index(),
+            val_shard_count=NPROC)
+
+    ex = Executor(params2, run_mode="train", is_multi_host=True,
+                  train_input_fn=train_fn, val_input_fn=val_fn,
+                  enable_tensorboard=False)
+    # non-chief metrics sinks must be disabled (shared model_dir on pods)
+    assert (ex.metrics._jsonl is not None) == (process_id == 0)
+    # deterministic preemption injection: "SIGTERM" lands on process 0
+    # only, during the 3rd step's dispatch; with log_every=2 both
+    # processes must agree and checkpoint at the SAME boundary (step 4)
+    orig_step, seen = ex._train_step, {"n": 0}
+
+    def counting_step(state, batch):
+        seen["n"] += 1
+        if seen["n"] == 3 and jax.process_index() == 0:
+            ex._preempt_requested = True
+        return orig_step(state, batch)
+
+    ex._train_step = counting_step
+    assert ex.train() is True
+    preempt_step = ex.latest_checkpoint_step()
+    assert preempt_step == 4, preempt_step
+    assert int(ex.state.step) == 4
+
+    # fresh Executor resumes from the preemption checkpoint and finishes;
+    # train_val runs the full multi-host evaluation at the end
+    ex2 = Executor(params2, run_mode="train", is_multi_host=True,
+                   train_input_fn=train_fn, val_input_fn=val_fn,
+                   enable_tensorboard=False)
+    assert ex2.train() is True
+    assert int(ex2.state.step) == int(params2.training.train_steps)
+    scores = ex2.evaluate()
+    if process_id == 0:
+        assert scores and all(np.isfinite(v) for v in scores.values()), \
+            scores
+    else:
+        assert scores == {}, scores
+
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"shardedval ok, spatial ok, preempt-agree ok, loss={loss:.6f} "
-          f"evaldigest={digest:.6f}", flush=True)
+          f"shardedval ok, spatial ok, preempt-agree ok, executor ok, "
+          f"loss={loss:.6f} evaldigest={digest:.6f}", flush=True)
+
+
+def _prepare_workdir() -> str:
+    """Dataset + config for the real-Executor leg (check 8), written once
+    by the parent so both children see identical files."""
+    import json
+    import tempfile
+
+    from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
+
+    workdir = tempfile.mkdtemp(prefix="mpsmoke_exec_")
+    data = os.path.join(workdir, "data")
+    # 4 shards so every process owns >= 1 file under per-host file-list
+    # sharding in both topologies (2 and 4 processes)
+    pattern, ann = write_synthetic_tfrecords(
+        data, "train", num_shards=4, samples_per_shard=4, num_classes=4,
+        write_annotations=True)
+    cfg = {
+        "experiment": {"name": "mpexec", "run_mode": "train",
+                       "model_dir": os.path.join(workdir, "models"),
+                       "tensorboard_dir": os.path.join(workdir, "tb")},
+        "input": {"input_shape": [64, 64], "channels": 3},
+        "floatx": {"precision": "float32"},
+        "architecture": {
+            "backbone": {"type": "resnet", "depth": 10},
+            "feature_fusion": {"type": "fpn", "filters": 16, "min_level": 3,
+                               "max_level": 5, "backbone_max_level": 5},
+            "head": {"num_convs": 1, "filters": 16, "num_classes": 4,
+                     "num_anchors": 9}},
+        "anchor_params": {"areas": [1024.0, 4096.0, 16384.0],
+                          "aspect_ratios": [0.5, 1.0, 2.0],
+                          "scales": [1.0, 2 ** (1 / 3), 2 ** (2 / 3)]},
+        "training": {
+            "train_steps": 8, "save_every": 100, "log_every": 2,
+            "batch_size": {"train": 8, "val": 8},
+            "annotation_file_path": ann,
+            "remap_class_ids": False,
+            "optimizer": {
+                "name": "sgd", "momentum": 0.9, "clipnorm": 10.0,
+                "lr_params": {"schedule_type": "cosine_decay",
+                              "initial_learning_rate": 0.01,
+                              "warmup_learning_rate": 0.001,
+                              "warmup_steps": 2}}},
+        "dataloader_params": {
+            "tfrecords": {"train": pattern, "val": pattern},
+            "augmentations": {"use_augmentation": False,
+                              "horizontal_flip": False},
+            "shuffle_buffer_size": 8},
+        "inference": {"mode": "PerClassHardNMS", "score_threshold": 0.05,
+                      "pre_nms_top_k": 256, "max_detections": 25},
+    }
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    return workdir
 
 
 def parent() -> None:
@@ -238,13 +361,14 @@ def parent() -> None:
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS":
             f"--xla_force_host_platform_device_count={DEV_PER_PROC}",
-        "PYTHONPATH": os.getcwd() + os.pathsep + env.get("PYTHONPATH", ""),
+        "PYTHONPATH": _REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        "MPSMOKE_WORKDIR": _prepare_workdir(),
     })
     procs = [subprocess.Popen(
         [sys.executable, __file__, str(i)], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(NPROC)]
-    timeout_s = int(os.environ.get("MPSMOKE_TIMEOUT", "480"))
+    timeout_s = int(os.environ.get("MPSMOKE_TIMEOUT", "900"))
     outs = []
     try:
         for p in procs:
