@@ -102,6 +102,11 @@ _DEFAULTS: dict = {
         "remap_class_ids": True,
         "steps_per_execution": 1,
         "log_every": 20,  # metric fetch/log cadence when spe == 1
+        # >1: run the configured batch as K sequential micro-batches inside
+        # one jitted step (lax.scan gradient accumulation) — K x smaller
+        # activation footprint at unchanged effective batch / LR schedule;
+        # the memory lever for high-res configs (see train/step.py)
+        "grad_accum_steps": 1,
         # sharded batches staged onto the devices N deep by a background
         # thread, overlapping host->device transfer with the device step
         # (the analog of tf.data's prefetch + infeed); 0 disables
@@ -199,6 +204,15 @@ def validate(params: ConfigDict) -> ConfigDict:
     precision = params.floatx.precision
     if precision not in ("float32", "mixed_bfloat16", "mixed_float16"):
         raise ConfigError(f"Unsupported precision: {precision}")
+    accum = int(params.training.get("grad_accum_steps", 1))
+    if accum < 1:
+        raise ConfigError(
+            f"training.grad_accum_steps must be >= 1, got {accum}")
+    train_bs = params.training.get("batch_size", {}).get("train", None)
+    if accum > 1 and train_bs is not None and int(train_bs) % accum:
+        raise ConfigError(
+            f"batch_size.train ({train_bs}) must be divisible by "
+            f"grad_accum_steps ({accum})")
     return params
 
 

@@ -131,6 +131,28 @@ def fuse_predictions(predictions: Dict, min_level: int,
     }
 
 
+def decode_box_regressions(encoded: jnp.ndarray,
+                           anchor_boxes: jnp.ndarray,
+                           input_shape,
+                           box_variance=(0.1, 0.1, 0.2, 0.2),
+                           scale_box_predictions: bool = False
+                           ) -> jnp.ndarray:
+    """(…, 4) encoded regressions + matching (…, 4) cxcywh anchors ->
+    normalized corner boxes. Shared by the decode-everything path and the
+    decode-after-top-k lane, so the two are the same elementwise program
+    (bitwise-equal boxes either way)."""
+    encoded = encoded.astype(jnp.float32)
+    a_xy, a_wh = anchor_boxes[..., :2], anchor_boxes[..., 2:]
+    if scale_box_predictions:
+        encoded = encoded * jnp.asarray(box_variance, jnp.float32)
+    xy = encoded[..., :2] * a_wh + a_xy
+    wh = jnp.exp(encoded[..., 2:]) * a_wh
+    half = wh / 2.0
+    corners = jnp.concatenate([xy - half, xy + half], axis=-1)
+    h, w = float(input_shape[0]), float(input_shape[1])
+    return corners / jnp.asarray([w, h, w, h], jnp.float32)
+
+
 def decode_detections(fused: Dict[str, jnp.ndarray],
                       anchors: AnchorGenerator,
                       input_shape,
@@ -138,20 +160,9 @@ def decode_detections(fused: Dict[str, jnp.ndarray],
                       scale_box_predictions: bool = False,
                       ) -> Dict[str, jnp.ndarray]:
     logits = fused["class_logits"].astype(jnp.float32)
-    encoded = fused["encoded_boxes"].astype(jnp.float32)
-
-    anchor_boxes = jnp.asarray(anchors.boxes)[None]  # (1, A, 4)
-    a_xy, a_wh = anchor_boxes[..., :2], anchor_boxes[..., 2:]
-
-    if scale_box_predictions:
-        encoded = encoded * jnp.asarray(box_variance, jnp.float32)
-
-    xy = encoded[..., :2] * a_wh + a_xy
-    wh = jnp.exp(encoded[..., 2:]) * a_wh
-    half = wh / 2.0
-    corners = jnp.concatenate([xy - half, xy + half], axis=-1)
-    h, w = float(input_shape[0]), float(input_shape[1])
-    corners = corners / jnp.asarray([w, h, w, h], jnp.float32)
+    corners = decode_box_regressions(
+        fused["encoded_boxes"], jnp.asarray(anchors.boxes)[None],
+        input_shape, box_variance, scale_box_predictions)
     return {"scores": jax.nn.sigmoid(logits), "boxes": corners}
 
 
@@ -159,11 +170,20 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
                  top_k: int,
                  filter_per_class: bool = True,
                  approx: bool = False,
-                 recall_target: float = 0.95) -> Dict[str, jnp.ndarray]:
+                 recall_target: float = 0.95,
+                 anchor_boxes: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, jnp.ndarray]:
     """Pre-NMS top-k. `approx=True` uses jax.lax.approx_max_k — the
     TPU-optimized partial selection (expected top-k recall >=
     `recall_target`); the exact variant matches the reference's tf.nn.top_k
-    (ref:120-173)."""
+    (ref:120-173).
+
+    ``anchor_boxes`` (A, 4): also gather each selected candidate's anchor
+    row (same indices) and return it under "anchors" — the
+    decode-after-top-k serving lane decodes box regressions only for the
+    selected candidates instead of all A anchors (identical math per
+    element, so bitwise-equal detections; see make_inference_fn).
+    """
     import functools
     scores = detections["scores"]       # (B, A, C)
     boxes = detections["boxes"]         # (B, A, 4)
@@ -209,20 +229,29 @@ def filter_top_k(detections: Dict[str, jnp.ndarray],
         top_boxes = jnp.take_along_axis(
             boxes, flat_idx[..., None], axis=1).reshape(
                 b, num_classes, k, 4)
-        return {
+        out = {
             "scores": jnp.swapaxes(top_scores, 1, 2),    # (B, k, C)
             "boxes": jnp.swapaxes(top_boxes, 1, 2),      # (B, k, C, 4)
         }
+        if anchor_boxes is not None:
+            top_anchors = jnp.take(
+                anchor_boxes, flat_idx, axis=0).reshape(
+                    b, num_classes, k, 4)
+            out["anchors"] = jnp.swapaxes(top_anchors, 1, 2)  # (B, k, C, 4)
+        return out
     k = min(top_k, num_anchors * num_classes)
     flat = scores.reshape(b, num_anchors * num_classes)
     _, idx = top_fn(flat, k)
     anchor_idx = idx // num_classes                       # (B, k)
-    return {
+    out = {
         "scores": jnp.take_along_axis(
             scores, anchor_idx[..., None], axis=1),      # (B, k, C)
         "boxes": jnp.take_along_axis(
             boxes, anchor_idx[..., None], axis=1),       # (B, k, 4)
     }
+    if anchor_boxes is not None:
+        out["anchors"] = jnp.take(anchor_boxes, anchor_idx, axis=0)
+    return out
 
 
 def _finalize(boxes, scores, classes, valid, max_detections):
@@ -399,6 +428,12 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
     # detection differences are confined to far-below-threshold tails.
     # Flip off for bitwise parity runs via inference.use_approx_top_k.
     approx_topk = bool(inf.get("use_approx_top_k", True))
+    # decode box regressions AFTER the top-k instead of over all A anchors:
+    # selection runs on logits either way, and the per-element decode math
+    # is shared (decode_box_regressions), so detections are bitwise
+    # identical — only the amount of decode work changes (C*k candidates
+    # vs A anchors) at the price of one extra (A, 4) anchor-row gather.
+    decode_after = bool(inf.get("decode_after_topk", False))
 
     def infer(model_params, batch_stats, images):
         images = normalizer(images).astype(compute_dtype)
@@ -422,21 +457,38 @@ def make_inference_fn(model, params, anchors: AnchorGenerator,
             logits_dtype=jnp.bfloat16 if approx_lane else None)
         if skip_decoding:
             return fused
-        decoded = decode_detections(
-            fused, anchors, params.input.input_shape,
-            tuple(params.encoder_params.box_variance),
-            bool(params.encoder_params.scale_box_targets))
         if skip_nms:
+            decoded = decode_detections(
+                fused, anchors, params.input.input_shape,
+                tuple(params.encoder_params.box_variance),
+                bool(params.encoder_params.scale_box_targets))
             return filter_top_k(
                 decoded, int(inf.pre_nms_top_k), bool(inf.filter_per_class))
         # top-k on LOGITS (sigmoid is monotonic -> identical selection),
         # sigmoid applied only to the k survivors: avoids a transcendental
         # over the full (B, ~77k, C) score tensor.
-        filtered = filter_top_k(
-            {"scores": fused["class_logits"],
-             "boxes": decoded["boxes"]},
-            nms_k, bool(inf.filter_per_class), approx=approx_topk,
-            recall_target=recall_target)
+        if decode_after:
+            filtered = filter_top_k(
+                {"scores": fused["class_logits"],
+                 "boxes": fused["encoded_boxes"]},
+                nms_k, bool(inf.filter_per_class), approx=approx_topk,
+                recall_target=recall_target,
+                anchor_boxes=jnp.asarray(anchors.boxes))
+            filtered["boxes"] = decode_box_regressions(
+                filtered["boxes"], filtered.pop("anchors"),
+                params.input.input_shape,
+                tuple(params.encoder_params.box_variance),
+                bool(params.encoder_params.scale_box_targets))
+        else:
+            decoded = decode_detections(
+                fused, anchors, params.input.input_shape,
+                tuple(params.encoder_params.box_variance),
+                bool(params.encoder_params.scale_box_targets))
+            filtered = filter_top_k(
+                {"scores": fused["class_logits"],
+                 "boxes": decoded["boxes"]},
+                nms_k, bool(inf.filter_per_class), approx=approx_topk,
+                recall_target=recall_target)
         filtered["scores"] = jax.nn.sigmoid(
             filtered["scores"].astype(jnp.float32))
         return generate_detections(

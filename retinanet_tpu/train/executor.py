@@ -111,10 +111,18 @@ class Executor:
         t = params.training
         self.train_steps = int(t.train_steps)
         self.steps_per_execution = int(t.get("steps_per_execution", 1))
+        self.grad_accum = max(1, int(t.get("grad_accum_steps", 1)))
         self.save_every = int(t.save_every)
         self.val_freq = int(t.get("validation_freq", -1))
         self.validation_samples = int(t.get("validation_samples", -1))
         self.batch_size = dict(t.batch_size)
+        if self.grad_accum > 1:
+            local_bs = mesh_lib.local_batch_size(
+                int(self.batch_size["train"]))
+            if local_bs % self.grad_accum:
+                raise ValueError(
+                    f"per-host train batch {local_bs} not divisible by "
+                    f"grad_accum_steps={self.grad_accum}")
         self.use_ema = bool(t.optimizer.get("use_moving_average", False))
         self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
 
@@ -143,7 +151,8 @@ class Executor:
             use_weight_decay=bool(t.use_weight_decay),
             weight_decay_alpha=float(t.weight_decay_alpha),
             compute_dtype=self.compute_dtype,
-            ema_decay=self.ema_decay if self.use_ema else None)
+            ema_decay=self.ema_decay if self.use_ema else None,
+            grad_accum_steps=self.grad_accum)
         # steps_per_execution > 1: one on-device lax.scan dispatch over a
         # stack of host batches (reference executor.py:605-621's multi-step
         # tf.function loop). One host->device transfer + one metrics fetch
@@ -392,14 +401,28 @@ class Executor:
             # step). A 20-step cadence would miss short divergence spikes
             # entirely, so detector users pay the per-step fetch.
             log_every = 1
+        accum = self.grad_accum
+
+        def _fold_accum(b):
+            # grad accumulation: [B, ...] -> [K, B/K, ...]; the step scans
+            # the K micro-batches and applies one optimizer update
+            return {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                    for k, v in b.items()}
+
         def make_batch():
             if multi_step:
                 # one scan dispatch over `spe` stacked host batches
                 host_batches = [next(train_iter) for _ in range(spe)]
+                if accum > 1:
+                    host_batches = [_fold_accum(b) for b in host_batches]
                 stacked = {k: np.stack([b[k] for b in host_batches])
                            for k in host_batches[0]}
-                return mesh_lib.shard_batch(stacked, self.mesh,
-                                            leading_dims=1)
+                return mesh_lib.shard_batch(
+                    stacked, self.mesh,
+                    leading_dims=2 if accum > 1 else 1)
+            if accum > 1:
+                return mesh_lib.shard_batch(
+                    _fold_accum(next(train_iter)), self.mesh, leading_dims=1)
             return mesh_lib.shard_batch(next(train_iter), self.mesh)
 
         # device prefetch: stage sharded batches onto the devices a few

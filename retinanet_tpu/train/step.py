@@ -67,30 +67,80 @@ def make_train_step(model,
                     use_weight_decay: bool,
                     weight_decay_alpha: float,
                     compute_dtype=jnp.bfloat16,
-                    ema_decay: Optional[float] = None):
+                    ema_decay: Optional[float] = None,
+                    grad_accum_steps: int = 1):
     """Returns step(state, batch) -> (state, metrics). Jit with
-    donate_argnums=(0,)."""
+    donate_argnums=(0,).
 
-    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+    ``grad_accum_steps > 1`` (training.grad_accum_steps) runs the configured
+    batch as K sequential micro-batches inside ONE jitted step: the batch
+    arrives stacked [K, B/K, ...], a lax.scan accumulates gradients in the
+    carry (one extra grads-sized buffer — micro-batch activations, the
+    high-res memory wall, are K x smaller), and a single optimizer update
+    applies the mean gradient. Effective-batch semantics are preserved: the
+    optimizer sees one step, the LR schedule advances once, EMA updates
+    once. Intentional micro-batch granularity (documented, standard
+    practice): BN batch moments and the focal-loss normalizer are computed
+    per micro-batch, and BN running stats advance K times per step. The
+    reference had no equivalent — its memory lever was a smaller global
+    batch (README batch-size tables); this is the TPU-native one for
+    high-res configs where activations, not weights, bind per-chip memory.
+    """
+
+    def grads_and_losses(params, batch_stats, norm_ema, batch):
         images = normalizer(batch["image"]).astype(compute_dtype)
         targets = encoder(batch["boxes"], batch["classes"], batch["valid"])
 
-        def compute_loss(params):
+        def compute_loss(p):
             preds, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"])
-            losses, new_norm_ema = loss_fn(
-                targets, preds, state.normalizer_ema)
+            losses, new_norm_ema = loss_fn(targets, preds, norm_ema)
             total = losses["weighted-loss"]
             if use_weight_decay:
-                l2 = weight_decay_loss(params, weight_decay_alpha)
+                # constant across micro-batches, so the accumulated mean
+                # gradient is exact (sum(g + wd)/K == mean(g) + wd)
+                l2 = weight_decay_loss(p, weight_decay_alpha)
                 losses["l2-regularization"] = l2
                 total = total + l2
             losses["total-loss"] = total
             return total, (losses, mutated["batch_stats"], new_norm_ema)
 
-        grads, (losses, new_batch_stats, new_norm_ema) = jax.grad(
-            compute_loss, has_aux=True)(state.params)
+        return jax.grad(compute_loss, has_aux=True)(params)
+
+    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        if grad_accum_steps <= 1:
+            grads, (losses, new_batch_stats, new_norm_ema) = (
+                grads_and_losses(state.params, state.batch_stats,
+                                 state.normalizer_ema, batch))
+            batch_size = batch["image"].shape[0]
+        else:
+            # First micro-batch seeds the accumulator trees (grads/losses
+            # structure comes from the computation itself); the scan folds
+            # in the rest. batch_stats / normalizer_ema thread sequentially
+            # through the carry, exactly as across ordinary steps.
+            first = jax.tree_util.tree_map(lambda x: x[0], batch)
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            grads, (losses, bstats, nema) = grads_and_losses(
+                state.params, state.batch_stats, state.normalizer_ema, first)
+
+            def body(carry, micro):
+                g_acc, l_acc, bs, ne = carry
+                g, (l, new_bs, new_ne) = grads_and_losses(
+                    state.params, bs, ne, micro)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                l_acc = jax.tree_util.tree_map(jnp.add, l_acc, l)
+                return (g_acc, l_acc, new_bs, new_ne), None
+
+            (grads, losses, new_batch_stats, new_norm_ema), _ = jax.lax.scan(
+                body, (grads, losses, bstats, nema), rest)
+            inv_k = jnp.float32(1.0 / grad_accum_steps)
+            grads = jax.tree_util.tree_map(lambda g: g * inv_k, grads)
+            # mean over micro-batches; per-image metrics below then divide
+            # by the micro size, i.e. report per-image over the EFFECTIVE
+            # batch: (sum/K) / (B/K) == sum / B
+            losses = jax.tree_util.tree_map(lambda l: l * inv_k, losses)
+            batch_size = batch["image"].shape[1]
 
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params)
@@ -115,7 +165,6 @@ def make_train_step(model,
                             else state.normalizer_ema),
         )
 
-        batch_size = batch["image"].shape[0]
         metrics = dict(losses)
         # per-image normalizer count (reference executor.py:438)
         metrics["num-anchors-matched"] = (

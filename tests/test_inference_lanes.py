@@ -154,3 +154,36 @@ def test_recall_target_reaches_selection(monkeypatch):
                               compute_dtype=jnp.float32)
     infer({}, {}, jnp.zeros((2, 64, 64, 3)))
     assert seen.get("recall") == 0.99
+
+
+def _run_decode_lane(decode_after, approx, per_class):
+    params = _params()
+    params.inference["use_approx_top_k"] = approx
+    params.inference["decode_after_topk"] = decode_after
+    params.inference["filter_per_class"] = per_class
+    model = _PlantedModel()
+    # nonzero box regressions so the decode actually transforms the
+    # anchors — a mis-gathered anchor row would shift the decoded box
+    rng = np.random.default_rng(7)
+    model.preds["box-predictions"] = {
+        k: jnp.asarray(rng.normal(0.0, 0.1, v.shape).astype(np.float32))
+        for k, v in model.preds["box-predictions"].items()}
+    anchors = anchor_lib.from_params(params)
+    normalizer = make_device_normalizer(params)
+    infer = jax.jit(make_inference_fn(model, params, anchors, normalizer,
+                                      compute_dtype=jnp.float32))
+    return jax.tree_util.tree_map(
+        np.asarray, infer({}, {}, jnp.zeros((2, 64, 64, 3), jnp.float32)))
+
+
+@pytest.mark.parametrize("approx", [True, False])
+@pytest.mark.parametrize("per_class", [True, False])
+def test_decode_after_topk_bitwise_identical(approx, per_class):
+    """inference.decode_after_topk only reorders WHERE the decode runs
+    (selected candidates vs all anchors); the per-element program is
+    shared, so the final detections must be bit-for-bit identical."""
+    after = _run_decode_lane(True, approx, per_class)
+    before = _run_decode_lane(False, approx, per_class)
+    assert int(before["valid_detections"].sum()) > 0
+    for key in before:
+        np.testing.assert_array_equal(after[key], before[key], err_msg=key)
