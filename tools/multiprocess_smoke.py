@@ -157,6 +157,31 @@ def child(process_id: int) -> None:
     loss = float(metrics["total-loss"])
     assert np.isfinite(loss), loss
 
+    # 3b. gradient accumulation across hosts: each process stacks its SAME
+    # local batch as two micro-batches ([2, local, ...], sharded on dim 1).
+    # The reported loss is (l + l) / 2 == l exactly in binary fp, so it
+    # must reproduce check 3's loss bit-for-bit at the original params and
+    # agree bit-for-bit across all processes.
+    accum_step = jax.jit(step_lib.make_train_step(
+        model, loss_fn, encoder, normalizer, tx, schedule,
+        use_weight_decay=True, weight_decay_alpha=1e-4,
+        compute_dtype=jnp.float32, grad_accum_steps=2), donate_argnums=(0,))
+    variables_ga = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    state_ga = jax.device_put(create_train_state(variables_ga, tx),
+                              mesh_lib.replicated(mesh))
+    batch_ga = mesh_lib.shard_batch(
+        {k: np.stack([np.asarray(v)] * 2) for k, v in local_batch.items()},
+        mesh, leading_dims=1)
+    state_ga, m_ga = accum_step(state_ga, batch_ga)
+    ga_loss = float(m_ga["total-loss"])
+    assert ga_loss == loss, ("grad-accum loss != plain loss", ga_loss, loss)
+    ga_all = np.asarray(
+        multihost_utils.process_allgather(jnp.float32(ga_loss)))
+    assert np.all(ga_all == ga_loss), ga_all
+    assert int(state_ga.step) == 1
+    del state_ga, batch_ga
+
     # 4. the Executor's multi-host eval gather sequence, verbatim:
     # identical deterministic val batch on every host -> each contributes
     # its 1/P slice -> jitted inference over the global batch ->
@@ -297,8 +322,9 @@ def child(process_id: int) -> None:
         assert scores == {}, scores
 
     print(f"proc{process_id}: devices=8 ok, psum ok, allgather ok, "
-          f"shardedval ok, spatial ok, preempt-agree ok, executor ok, "
-          f"loss={loss:.6f} evaldigest={digest:.6f}", flush=True)
+          f"gradaccum ok, shardedval ok, spatial ok, preempt-agree ok, "
+          f"executor ok, loss={loss:.6f} evaldigest={digest:.6f}",
+          flush=True)
 
 
 def _prepare_workdir() -> str:
