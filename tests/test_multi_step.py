@@ -16,7 +16,7 @@ from retinanet_tpu.train import step as step_lib
 from retinanet_tpu.train.train_state import create_train_state
 
 
-def _setup():
+def _setup(grad_accum_steps=1):
     params = cfg.from_dict({
         "experiment": {"name": "ms"},
         "input": {"input_shape": [64, 64], "channels": 3},
@@ -54,7 +54,7 @@ def _setup():
     step = step_lib.make_train_step(
         model, loss_fn, encoder, norm, tx, schedule,
         use_weight_decay=False, weight_decay_alpha=0.0,
-        compute_dtype=jnp.float32)
+        compute_dtype=jnp.float32, grad_accum_steps=grad_accum_steps)
     return state, step
 
 
