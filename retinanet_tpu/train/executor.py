@@ -116,6 +116,11 @@ class Executor:
         self.val_freq = int(t.get("validation_freq", -1))
         self.validation_samples = int(t.get("validation_samples", -1))
         self.batch_size = dict(t.batch_size)
+        self.use_ema = bool(t.optimizer.get("use_moving_average", False))
+        self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
+
+        self.mesh = mesh_lib.create_mesh(
+            spatial=int(t.get("spatial_partition", 1)))
         if self.grad_accum > 1:
             local_bs = mesh_lib.local_batch_size(
                 int(self.batch_size["train"]))
@@ -123,11 +128,23 @@ class Executor:
                 raise ValueError(
                     f"per-host train batch {local_bs} not divisible by "
                     f"grad_accum_steps={self.grad_accum}")
-        self.use_ema = bool(t.optimizer.get("use_moving_average", False))
-        self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
-
-        self.mesh = mesh_lib.create_mesh(
-            spatial=int(t.get("spatial_partition", 1)))
+            # The MICRO batch must still split over this host's device
+            # share, or shard_batch silently replicates it onto every chip
+            # — inflating per-chip activation memory by n_dev x instead of
+            # shrinking it by K, the exact opposite of what the user
+            # configured grad accumulation for. Fail at init, not at the
+            # first batch (multi-process) or silently (single-process).
+            micro = local_bs // self.grad_accum
+            dev_share = max(1, self.mesh.shape[mesh_lib.DATA_AXIS]
+                            // jax.process_count())
+            if micro % dev_share:
+                raise ValueError(
+                    f"micro-batch {micro} (per-host train batch {local_bs}"
+                    f" / grad_accum_steps={self.grad_accum}) not divisible"
+                    f" by this host's data-axis device share ({dev_share});"
+                    " the micro-batch could not be sharded and would be"
+                    " replicated on every chip, inflating per-chip memory"
+                    " instead of reducing it")
         self.compute_dtype = _compute_dtype(params.floatx.precision)
 
         # -- model / loss / optimizer ----------------------------------------
@@ -406,8 +423,7 @@ class Executor:
         def _fold_accum(b):
             # grad accumulation: [B, ...] -> [K, B/K, ...]; the step scans
             # the K micro-batches and applies one optimizer update
-            return {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
-                    for k, v in b.items()}
+            return step_lib.fold_micro_batches(b, accum)
 
         def make_batch():
             if multi_step:

@@ -58,6 +58,18 @@ def weight_decay_loss(params, alpha: float) -> jnp.ndarray:
     return alpha * total
 
 
+def fold_micro_batches(batch: Dict, k: int) -> Dict:
+    """[B, ...] -> [K, B/K, ...] micro-batch fold for gradient accumulation.
+
+    The single source of truth for the layout contract shared with
+    ``make_train_step``'s scan (which consumes the leading K axis); the
+    Executor, __graft_entry__ and tools must all fold through here so the
+    contract cannot drift between producers and the consumer.
+    """
+    return {key: v.reshape((k, v.shape[0] // k) + v.shape[1:])
+            for key, v in batch.items()}
+
+
 def make_train_step(model,
                     loss_fn: RetinaNetLoss,
                     encoder: Callable,
@@ -115,14 +127,33 @@ def make_train_step(model,
                                  state.normalizer_ema, batch))
             batch_size = batch["image"].shape[0]
         else:
-            # First micro-batch seeds the accumulator trees (grads/losses
-            # structure comes from the computation itself); the scan folds
-            # in the rest. batch_stats / normalizer_ema thread sequentially
-            # through the carry, exactly as across ordinary steps.
-            first = jax.tree_util.tree_map(lambda x: x[0], batch)
-            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
-            grads, (losses, bstats, nema) = grads_and_losses(
-                state.params, state.batch_stats, state.normalizer_ema, first)
+            # Shapes are static under jit, so this check costs nothing at
+            # runtime and closes a silent-corruption hole: a batch stacked
+            # with K' != grad_accum_steps micro-batches would accumulate K'
+            # gradients but scale by 1/K — training at a wrong effective LR
+            # with no error. Fold batches via fold_micro_batches.
+            if batch["image"].shape[0] != grad_accum_steps:
+                raise ValueError(
+                    f"stacked batch has {batch['image'].shape[0]} "
+                    f"micro-batches but the step was built with "
+                    f"grad_accum_steps={grad_accum_steps}; the applied "
+                    "gradient would be silently mis-scaled")
+            # Zero-seeded accumulators (structure from eval_shape — costs a
+            # trace, not a compile) so the compiled program contains exactly
+            # ONE fwd+bwd instance: the scan body. Seeding by unrolling the
+            # first micro-batch inline would compile the entire
+            # forward+backward twice. Adding to zeros is bitwise-exact for
+            # finite floats, so this is numerically identical to seeding
+            # with the first micro-batch. batch_stats / normalizer_ema
+            # thread sequentially through the carry, exactly as across
+            # ordinary steps.
+            shapes = jax.eval_shape(
+                grads_and_losses, state.params, state.batch_stats,
+                state.normalizer_ema,
+                jax.tree_util.tree_map(lambda x: x[0], batch))
+            g_shape, (l_shape, _, _) = shapes
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
             def body(carry, micro):
                 g_acc, l_acc, bs, ne = carry
@@ -133,7 +164,8 @@ def make_train_step(model,
                 return (g_acc, l_acc, new_bs, new_ne), None
 
             (grads, losses, new_batch_stats, new_norm_ema), _ = jax.lax.scan(
-                body, (grads, losses, bstats, nema), rest)
+                body, (zeros(g_shape), zeros(l_shape), state.batch_stats,
+                       state.normalizer_ema), batch)
             inv_k = jnp.float32(1.0 / grad_accum_steps)
             grads = jax.tree_util.tree_map(lambda g: g * inv_k, grads)
             # mean over micro-batches; per-image metrics below then divide

@@ -173,13 +173,17 @@ def test_executor_grad_accum_mini_train(tmp_path):
     from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
     from retinanet_tpu.train.executor import Executor
 
+    # batch 16 / K=2 -> micro-batch 8, divisible by the 8-device conftest
+    # mesh: the micro-batches are genuinely SHARDED (batch 8 would fall
+    # into shard_batch's single-process replication fallback and never
+    # exercise the sharded accum path — now rejected at Executor init)
     pattern = write_synthetic_tfrecords(
-        str(tmp_path / "d"), "train", 1, 8, num_classes=4,
+        str(tmp_path / "d"), "train", 1, 16, num_classes=4,
         write_annotations=False)
     params = _params({
         "train_steps": 3, "save_every": 3,
         "grad_accum_steps": 2,
-        "batch_size": {"train": 8, "val": 8},
+        "batch_size": {"train": 16, "val": 16},
     })
     params = cfg.from_dict({**params.to_dict(), "experiment": {
         "name": "ga_exec", "model_dir": str(tmp_path / "m")},
@@ -201,12 +205,12 @@ def test_executor_grad_accum_with_steps_per_execution(tmp_path):
     from retinanet_tpu.train.executor import Executor
 
     pattern = write_synthetic_tfrecords(
-        str(tmp_path / "d"), "train", 1, 8, num_classes=4,
+        str(tmp_path / "d"), "train", 1, 16, num_classes=4,
         write_annotations=False)
     params = _params({
         "train_steps": 4, "save_every": 4,
         "grad_accum_steps": 2, "steps_per_execution": 2,
-        "batch_size": {"train": 8, "val": 8},
+        "batch_size": {"train": 16, "val": 16},
     })
     params = cfg.from_dict({**params.to_dict(), "experiment": {
         "name": "ga_spe", "model_dir": str(tmp_path / "m")},
@@ -227,3 +231,35 @@ def test_config_rejects_indivisible_accum():
                  "batch_size": {"train": 4, "val": 4}})
     with pytest.raises(cfg.ConfigError):
         _params({"grad_accum_steps": 0})
+
+
+def test_executor_rejects_unshardable_micro_batch(tmp_path):
+    """batch 8 / K=2 -> micro-batch 4 < 8 devices: shard_batch would fall
+    back to FULL replication (every chip computes all 4 images), inflating
+    per-chip activation memory instead of reducing it K x. The Executor
+    must refuse at init, not silently de-parallelize."""
+    import pytest
+    from retinanet_tpu.train.executor import Executor
+
+    params = _params({
+        "train_steps": 3, "save_every": 3,
+        "grad_accum_steps": 2,
+        "batch_size": {"train": 8, "val": 8},
+    })
+    params = cfg.from_dict({**params.to_dict(), "experiment": {
+        "name": "ga_bad", "model_dir": str(tmp_path / "m")}})
+    with pytest.raises(ValueError, match="micro-batch"):
+        Executor(params, run_mode="train",
+                 train_input_fn=lambda: iter([]),
+                 enable_tensorboard=False)
+
+
+def test_step_rejects_wrong_micro_count():
+    """A batch stacked with K' != grad_accum_steps micro-batches must raise
+    at trace time — accumulating K' gradients but scaling by 1/K would
+    silently train at a wrong effective LR."""
+    import pytest
+    micro = synthetic_train_batch(2, (64, 64), 10, 4, seed=0)
+    state, step_accum = _setup(grad_accum_steps=3)
+    with pytest.raises(ValueError, match="micro-batches"):
+        step_accum(state, _stack_micro(micro, 2))

@@ -51,8 +51,7 @@ def _step_for(params, batch_size, grad_accum=1):
     batch = {k: np.asarray(v) for k, v in synthetic_train_batch(
         batch_size, (640, 640), 100, 80, seed=0).items()}
     if grad_accum > 1:
-        batch = {k: v.reshape((grad_accum, v.shape[0] // grad_accum)
-                              + v.shape[1:]) for k, v in batch.items()}
+        batch = step_lib.fold_micro_batches(batch, grad_accum)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     return step, state, batch
 
@@ -89,9 +88,12 @@ def main() -> int:
                             f"args={mem.argument_size_in_bytes / 2**30:.2f}"
                             f"GiB peak~={peak / 2**30:.2f}GiB")
                     if args.run:
-                        state, m = step(state, batch)
+                        # use the executable already built for the memory
+                        # analysis — calling `step` would re-trace and
+                        # re-compile each config a second time
+                        state, m = compiled(state, batch)
                         float(m["total-loss"])
-                        dt, state = chained_step_time(step, state, batch,
+                        dt, state = chained_step_time(compiled, state, batch,
                                                       iters=10)
                         line += (f" step={dt * 1e3:.1f}ms "
                                  f"({bs / dt:.1f} imgs/s)")
