@@ -95,12 +95,17 @@ class FPN(nn.Module):
 
 
 class FPNP5(nn.Module):
-    """Original-paper FPN: lateral 1x1 convs, top-down sums, P6/P7 via
-    stride-2 3x3 convs from P5 (reference model/neck/fpn_p5.py:10-126)."""
+    """Original-paper FPN: lateral 1x1 convs, top-down FeatureFusion
+    merges, P6/P7 via stride-2 3x3 convs chained from P5, and a per-level
+    output BN on every level (reference model/neck/fpn_p5.py:10-126;
+    output convs consume conv_2d.use_bias_before_bn at fpn_p5.py:82,
+    output norms applied at fpn_p5.py:121-125)."""
     filters: int = 256
     min_level: int = 3
     max_level: int = 7
     backbone_max_level: int = 5
+    fusion_mode: str = "sum"
+    use_bias_before_bn: bool = False
     separable_conv: bool = False
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
@@ -110,6 +115,8 @@ class FPNP5(nn.Module):
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray],
                  train: bool = False) -> Dict[str, jnp.ndarray]:
+        bn = partial(BatchNorm, momentum=self.bn_momentum,
+                     epsilon=self.bn_epsilon, dtype=self.dtype)
         conv = partial(Conv2D, separable=self.separable_conv,
                        dtype=self.dtype)
         laterals = {}
@@ -121,20 +128,30 @@ class FPNP5(nn.Module):
             low = str(level - 1)
             up = nearest_upsample(laterals[str(level)], 2)
             up = up[:, :laterals[low].shape[1], :laterals[low].shape[2], :]
-            laterals[low] = laterals[low] + up
+            laterals[low] = FeatureFusion(
+                mode=self.fusion_mode, filters=self.filters,
+                dtype=self.dtype, name=f"m{level}_fusion")(laterals[low], up)
 
         outputs = {}
         for level in range(self.min_level, self.backbone_max_level + 1):
             key = str(level)
             outputs[key] = conv(filters=self.filters, kernel_size=3,
+                                use_bias=self.use_bias_before_bn,
                                 name=f"p{key}_out_conv")(laterals[key])
 
-        prev = features[str(self.backbone_max_level)]
+        # Coarse chain: P6 from the P5 *output* (pre-BN), deeper levels
+        # through an activation first (fpn_p5.py:110-119).
         for level in range(self.backbone_max_level + 1, self.max_level + 1):
             key = str(level)
+            prev = outputs[str(level - 1)]
             if level > self.backbone_max_level + 1:
                 prev = self.activation(prev)
-            prev = conv(filters=self.filters, kernel_size=3, strides=2,
-                        name=f"p{key}_conv")(prev)
-            outputs[key] = prev
+            outputs[key] = conv(filters=self.filters, kernel_size=3,
+                                strides=2, use_bias=self.use_bias_before_bn,
+                                name=f"p{key}_out_conv")(prev)
+
+        for level in range(self.min_level, self.max_level + 1):
+            key = str(level)
+            outputs[key] = bn(name=f"p{key}_out_bn")(
+                outputs[key], use_running_average=not train)
         return outputs

@@ -119,18 +119,26 @@ def build_neck(params, conv_2d, bn, activation, dtype) -> nn.Module:
         separable_conv=bool(conv_2d.use_seperable_conv),
         bn_momentum=bn.momentum, bn_epsilon=bn.epsilon,
         activation=activation, dtype=dtype, name="neck")
+    # conv_2d.use_bias_before_bn is consumed by MLAF / stacked-MLAF /
+    # FPN-P5 exactly as in the reference (multi_level_attention_fusion.py:71,
+    # fpn_p5.py:82); the default FPN never reads it (reference fpn.py has no
+    # use_bias argument anywhere).
+    bias_before_bn = bool(conv_2d.get("use_bias_before_bn", False))
     if kind == "fpn":
         return FPN(fusion_mode=ff.get("fusion_mode", "sum"), **common)
     if kind == "fpn_p5":
-        return FPNP5(**common)
+        return FPNP5(fusion_mode=ff.get("fusion_mode", "sum"),
+                     use_bias_before_bn=bias_before_bn, **common)
     if kind == "multi_level_attention":
         return MultiLevelAttentionFusion(
             use_channel_attention=bool(ff.get("use_channel_attention", False)),
+            use_bias_before_bn=bias_before_bn,
             **common)
     if kind == "stacked_multi_level_attention":
         return StackedMultiLevelAttentionFusion(
             num_repeats=int(ff.get("num_repeats", 2)),
             use_channel_attention=bool(ff.get("use_channel_attention", False)),
+            use_bias_before_bn=bias_before_bn,
             **common)
     raise ValueError(f"Unsupported neck type: {kind}")
 

@@ -169,7 +169,8 @@ class Executor:
             weight_decay_alpha=float(t.weight_decay_alpha),
             compute_dtype=self.compute_dtype,
             ema_decay=self.ema_decay if self.use_ema else None,
-            grad_accum_steps=self.grad_accum)
+            grad_accum_steps=self.grad_accum,
+            clipnorm=t.optimizer.get("clipnorm", None))
         # steps_per_execution > 1: one on-device lax.scan dispatch over a
         # stack of host batches (reference executor.py:605-621's multi-step
         # tf.function loop). One host->device transfer + one metrics fetch

@@ -80,7 +80,8 @@ def make_train_step(model,
                     weight_decay_alpha: float,
                     compute_dtype=jnp.bfloat16,
                     ema_decay: Optional[float] = None,
-                    grad_accum_steps: int = 1):
+                    grad_accum_steps: int = 1,
+                    clipnorm: Optional[float] = None):
     """Returns step(state, batch) -> (state, metrics). Jit with
     donate_argnums=(0,).
 
@@ -119,6 +120,11 @@ def make_train_step(model,
             return total, (losses, mutated["batch_stats"], new_norm_ema)
 
         return jax.grad(compute_loss, has_aux=True)(params)
+
+    if clipnorm is not None:
+        from retinanet_tpu.optimizers.builder import (
+            clip_per_tensor_then_global)
+        _clip_metric_tx = clip_per_tensor_then_global(float(clipnorm))
 
     def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         if grad_accum_steps <= 1:
@@ -201,7 +207,18 @@ def make_train_step(model,
         # per-image normalizer count (reference executor.py:438)
         metrics["num-anchors-matched"] = (
             losses["num-anchors-matched"] / batch_size)
-        metrics["gradient-norm"] = optax.global_norm(grads)
+        # The reference logs the POST-clip global norm
+        # (executor.py:440: global_norm(clipped gradients) * num_replicas).
+        # Recompute the same per-tensor-then-global clip here for the
+        # metric; XLA CSEs it against the identical clip inside tx.update,
+        # so it costs nothing. No *num_replicas factor: the reference's
+        # per-replica grads differentiate loss/num_replicas, while these
+        # grads are already global-batch grads.
+        if clipnorm is not None:
+            clipped, _ = _clip_metric_tx.update(grads, _clip_metric_tx.init(None))
+            metrics["gradient-norm"] = optax.global_norm(clipped)
+        else:
+            metrics["gradient-norm"] = optax.global_norm(grads)
         metrics["learning-rate"] = schedule(state.step)
         return new_state, metrics
 

@@ -16,7 +16,7 @@ from retinanet_tpu.train import step as step_lib
 from retinanet_tpu.train.train_state import create_train_state
 
 
-def _setup(grad_accum_steps=1):
+def _setup(grad_accum_steps=1, clipnorm=None):
     params = cfg.from_dict({
         "experiment": {"name": "ms"},
         "input": {"input_shape": [64, 64], "channels": 3},
@@ -47,6 +47,8 @@ def _setup(grad_accum_steps=1):
     encoder = make_batched_encoder(anchors, params.encoder_params)
     norm = make_device_normalizer(params)
     loss_fn = RetinaNetLoss(4, params.loss)
+    if clipnorm is not None:
+        params.training.optimizer.clipnorm = clipnorm
     tx, schedule = build_optimizer(params.training.optimizer, 100)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
@@ -54,8 +56,29 @@ def _setup(grad_accum_steps=1):
     step = step_lib.make_train_step(
         model, loss_fn, encoder, norm, tx, schedule,
         use_weight_decay=False, weight_decay_alpha=0.0,
-        compute_dtype=jnp.float32, grad_accum_steps=grad_accum_steps)
+        compute_dtype=jnp.float32, grad_accum_steps=grad_accum_steps,
+        clipnorm=clipnorm)
     return state, step
+
+
+def test_gradient_norm_metric_is_post_clip():
+    """`gradient-norm` reports the POST-clip global norm, matching the
+    reference's global_norm(clipped gradients) (executor.py:440). With a
+    clipnorm far below the raw gradient norm, the global-norm clip scales
+    the whole tree to exactly `clipnorm`."""
+    clip = 1e-3
+    state_raw, step_raw = _setup()
+    state_clip, step_clip = _setup(clipnorm=clip)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_train_batch(4, (64, 64), 10, 4, seed=0).items()}
+
+    _, metrics_raw = jax.jit(step_raw)(state_raw, batch)
+    _, metrics_clip = jax.jit(step_clip)(state_clip, batch)
+
+    raw_norm = float(metrics_raw["gradient-norm"])
+    clipped_norm = float(metrics_clip["gradient-norm"])
+    assert raw_norm > clip * 10  # untrained net: raw norm >> clip
+    np.testing.assert_allclose(clipped_norm, clip, rtol=1e-5)
 
 
 def test_multi_step_scan_equals_python_loop():
