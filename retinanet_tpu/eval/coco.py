@@ -172,16 +172,111 @@ class COCOEval:
             "num_gt": int(np.count_nonzero(gt_ignore == 0)),
         }
 
-    # -- accumulate -----------------------------------------------------------
+    # -- evaluate (pack groups, match natively or in python) -------------------
 
-    def evaluate(self) -> None:
-        max_det = max(MAX_DETS)
-        self._img_evals = {}
+    def _pack_groups(self, max_det: int) -> dict:
+        """Flatten every (image, category) pair with any gts or dts into the
+        group arrays the matcher consumes. Detections are stably sorted by
+        descending score and truncated to `max_det` here, so matcher outputs
+        stay column-aligned with `dt_scores`."""
+        cat_ranges = []
+        dt_boxes, dt_scores, pos_in_group = [], [], []
+        gt_boxes, gt_areas, gt_crowd, gt_igbase = [], [], [], []
+        dt_counts, gt_counts = [], []
+        group_keys = []
         for cat_id in self.cat_ids:
-            for area_name, rng in AREA_RNG.items():
-                for img_id in self.image_ids:
-                    self._img_evals[(cat_id, area_name, img_id)] = \
-                        self._evaluate_img(img_id, cat_id, rng, max_det)
+            start = len(group_keys)
+            for img_id in self.image_ids:
+                gts = self.gts.get((img_id, cat_id), [])
+                dts = self.dts.get((img_id, cat_id), [])
+                if not gts and not dts:
+                    continue
+                d_order = np.argsort([-d["score"] for d in dts],
+                                     kind="mergesort")[:max_det]
+                dts = [dts[i] for i in d_order]
+                dt_boxes.append(np.array(
+                    [d["bbox"] for d in dts], np.float64).reshape(-1, 4))
+                dt_scores.append(np.array(
+                    [d["score"] for d in dts], np.float64))
+                pos_in_group.append(np.arange(len(dts), dtype=np.int64))
+                gt_boxes.append(np.array(
+                    [g["bbox"] for g in gts], np.float64).reshape(-1, 4))
+                gt_areas.append(np.array(
+                    [g["area"] for g in gts], np.float64))
+                gt_crowd.append(np.array(
+                    [g["iscrowd"] for g in gts], np.uint8))
+                gt_igbase.append(np.array(
+                    [1 if (g["iscrowd"] or g.get("ignore", 0)) else 0
+                     for g in gts], np.uint8))
+                dt_counts.append(len(dts))
+                gt_counts.append(len(gts))
+                group_keys.append((img_id, cat_id))
+            cat_ranges.append((start, len(group_keys)))
+
+        def cat_(parts, dtype, width=None):
+            if not parts:
+                return np.zeros((0, width) if width else 0, dtype)
+            return np.concatenate(parts).astype(dtype, copy=False)
+
+        return {
+            "cat_ranges": cat_ranges,
+            "group_keys": group_keys,
+            "dt_off": np.concatenate(
+                [[0], np.cumsum(dt_counts)]).astype(np.int64),
+            "gt_off": np.concatenate(
+                [[0], np.cumsum(gt_counts)]).astype(np.int64),
+            "dt_boxes": cat_(dt_boxes, np.float64, 4),
+            "dt_scores": cat_(dt_scores, np.float64),
+            "pos_in_group": cat_(pos_in_group, np.int64),
+            "gt_boxes": cat_(gt_boxes, np.float64, 4),
+            "gt_areas": cat_(gt_areas, np.float64),
+            "gt_iscrowd": cat_(gt_crowd, np.uint8),
+            "gt_ignore_base": cat_(gt_igbase, np.uint8),
+        }
+
+    def evaluate(self, use_native: Optional[bool] = None) -> None:
+        """Match detections to gts for every (image, category, area, IoU
+        threshold). Uses the C++ matcher (native/cocoeval_native.cpp) when
+        available — one call for all groups, IoU computed once per group —
+        falling back to the pure-Python spec (`_evaluate_img`)."""
+        max_det = max(MAX_DETS)
+        p = self._pack_groups(max_det)
+        area_lo = np.array([AREA_RNG[a][0] for a in AREA_RNG])
+        area_hi = np.array([AREA_RNG[a][1] for a in AREA_RNG])
+
+        out = None
+        if use_native is not False:
+            from retinanet_tpu.eval import native as coco_native
+            out = coco_native.match_groups(
+                p["dt_off"], p["gt_off"], p["dt_boxes"], p["gt_boxes"],
+                p["gt_areas"], p["gt_iscrowd"], p["gt_ignore_base"],
+                area_lo, area_hi, IOU_THRS)
+            if out is None and use_native is True:
+                raise RuntimeError("native COCO matcher unavailable")
+        if out is not None:
+            dt_matched, dt_ignore, num_gt = out
+        else:
+            T = len(IOU_THRS)
+            A = len(AREA_RNG)
+            sum_d = int(p["dt_off"][-1])
+            n_groups = len(p["group_keys"])
+            dt_matched = np.zeros((A, T, sum_d), np.uint8)
+            dt_ignore = np.zeros((A, T, sum_d), np.uint8)
+            num_gt = np.zeros((A, n_groups), np.int32)
+            for i, (img_id, cat_id) in enumerate(p["group_keys"]):
+                lo, hi = p["dt_off"][i], p["dt_off"][i + 1]
+                for a, area_name in enumerate(AREA_RNG):
+                    e = self._evaluate_img(
+                        img_id, cat_id, AREA_RNG[area_name], max_det)
+                    dt_matched[a, :, lo:hi] = e["dt_matches"] > 0
+                    dt_ignore[a, :, lo:hi] = e["dt_ignore"]
+                    num_gt[a, i] = e["num_gt"]
+        p["dt_matched"] = dt_matched
+        p["dt_ignore"] = dt_ignore
+        p["num_gt"] = num_gt
+        self._packed = p
+
+    # -- accumulate -----------------------------------------------------------
 
     def accumulate(self) -> None:
         T = len(IOU_THRS)
@@ -192,52 +287,57 @@ class COCOEval:
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         scores = -np.ones((T, R, K, A, M))
+        p = self._packed
+        eps = np.finfo(float).eps
 
-        for k, cat_id in enumerate(self.cat_ids):
-            for a, area_name in enumerate(AREA_RNG):
-                evals = [self._img_evals[(cat_id, area_name, img_id)]
-                         for img_id in self.image_ids]
-                evals = [e for e in evals if e is not None]
-                if not evals:
+        for k in range(K):
+            grp_lo, grp_hi = p["cat_ranges"][k]
+            if grp_lo == grp_hi:
+                continue  # no image has gts or dts for this category
+            col_lo = int(p["dt_off"][grp_lo])
+            col_hi = int(p["dt_off"][grp_hi])
+            scores_k = p["dt_scores"][col_lo:col_hi]
+            pos_k = p["pos_in_group"][col_lo:col_hi]
+            # Sort ONCE per category: a stable sort restricted to a subset
+            # (pos < max_det) equals the stable sort of that subset, so the
+            # per-maxDets orderings are masks of this one.
+            order_full = np.argsort(-scores_k, kind="mergesort")
+            scores_sorted = scores_k[order_full]
+            pos_sorted = pos_k[order_full]
+            for a in range(A):
+                num_gt = int(p["num_gt"][a, grp_lo:grp_hi].sum())
+                if num_gt == 0:
                     continue
+                matched_o = p["dt_matched"][a, :, col_lo:col_hi][
+                    :, order_full].astype(bool)
+                ignored_o = p["dt_ignore"][a, :, col_lo:col_hi][
+                    :, order_full].astype(bool)
                 for m, max_det in enumerate(MAX_DETS):
-                    dt_scores = np.concatenate(
-                        [e["dt_scores"][:max_det] for e in evals])
-                    order = np.argsort(-dt_scores, kind="mergesort")
-                    dt_scores_sorted = dt_scores[order]
-                    dtm = np.concatenate(
-                        [e["dt_matches"][:, :max_det] for e in evals],
-                        axis=1)[:, order]
-                    dt_ig = np.concatenate(
-                        [e["dt_ignore"][:, :max_det] for e in evals],
-                        axis=1)[:, order]
-                    num_gt = sum(e["num_gt"] for e in evals)
-                    if num_gt == 0:
+                    sel = pos_sorted < max_det
+                    nd = int(np.count_nonzero(sel))
+                    if nd == 0:
+                        recall[:, k, a, m] = 0.0
+                        precision[:, :, k, a, m] = 0.0
+                        scores[:, :, k, a, m] = 0.0
                         continue
-                    tps = np.logical_and(dtm, np.logical_not(dt_ig))
-                    fps = np.logical_and(
-                        np.logical_not(dtm), np.logical_not(dt_ig))
-                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
-                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    ss_sorted = scores_sorted[sel]
+                    mt = matched_o[:, sel]
+                    ig = ignored_o[:, sel]
+                    tp = np.cumsum(mt & ~ig, axis=1, dtype=np.float64)
+                    fp = np.cumsum(~mt & ~ig, axis=1, dtype=np.float64)
+                    rc = tp / num_gt                          # (T, nd)
+                    pr = tp / np.maximum(tp + fp, eps)
+                    recall[:, k, a, m] = rc[:, -1]
+                    # precision envelope (monotone non-increasing)
+                    env = np.maximum.accumulate(
+                        pr[:, ::-1], axis=1)[:, ::-1]
                     for t in range(T):
-                        tp = tp_sum[t]
-                        fp = fp_sum[t]
-                        nd = len(tp)
-                        rc = tp / num_gt
-                        pr = tp / np.maximum(fp + tp, np.finfo(float).eps)
-                        recall[t, k, a, m] = rc[-1] if nd else 0.0
-                        # make precision monotonically decreasing
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        inds = np.searchsorted(rc[t], REC_THRS, side="left")
+                        ok = inds < nd
                         q = np.zeros(R)
                         ss = np.zeros(R)
-                        for ri, pi in enumerate(inds):
-                            if pi < nd:
-                                q[ri] = pr[pi]
-                                ss[ri] = dt_scores_sorted[pi]
+                        q[ok] = env[t, inds[ok]]
+                        ss[ok] = ss_sorted[inds[ok]]
                         precision[t, :, k, a, m] = q
                         scores[t, :, k, a, m] = ss
 
