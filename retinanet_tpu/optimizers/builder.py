@@ -22,7 +22,7 @@ dynamics match.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,51 @@ def clip_per_tensor_then_global(threshold: float) -> optax.GradientTransformatio
         g_scale = jnp.minimum(1.0, threshold / jnp.maximum(g_norm, 1e-20))
         updates = jax.tree_util.tree_map(lambda g: g * g_scale, updates)
         return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class KerasSGDState(NamedTuple):
+    count: jnp.ndarray     # step counter fed to the LR schedule
+    velocity: Any          # momentum buffer in Keras units (lr-scaled)
+
+
+def keras_sgd(schedule: Callable, momentum: float = 0.0,
+              nesterov: bool = False) -> optax.GradientTransformation:
+    """SGD with the REFERENCE's (Keras) momentum semantics.
+
+    Keras SGD folds the learning rate into the velocity buffer
+    (tf_keras SGD.update_step: ``v = momentum * v - lr * g`` then
+    ``w += v``; nesterov ``w += momentum * v_new - lr * g``), so past
+    gradients stay scaled by the LR that was active WHEN THEY WERE TAKEN.
+    optax.sgd instead accumulates a raw-gradient trace and multiplies by
+    the CURRENT lr — identical for constant schedules, but a different
+    optimizer under the reference's warmup/piecewise schedules (after a
+    10x LR drop, optax instantly rescales the whole momentum buffer; Keras
+    decays the old-LR momentum away over ~1/(1-m) steps). The reference's
+    published mAP was trained with Keras semantics
+    (reference executor.py:437, optimizers/builder.py:46), so this is the
+    parity-correct default — verified by the lockstep run in
+    tools/training_dynamics_parity.py.
+    """
+
+    def init_fn(params):
+        return KerasSGDState(
+            count=jnp.zeros([], jnp.int32),
+            velocity=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        lr = jnp.asarray(schedule(state.count), jnp.float32)
+        m = jnp.float32(momentum)
+        velocity = jax.tree_util.tree_map(
+            lambda v, g: m * v - lr * g, state.velocity, updates)
+        if nesterov:
+            out = jax.tree_util.tree_map(
+                lambda v, g: m * v - lr * g, velocity, updates)
+        else:
+            out = velocity
+        return out, KerasSGDState(count=state.count + 1, velocity=velocity)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -101,9 +146,9 @@ def build_optimizer(opt_params,
 
     name = opt_params.name.lower()
     if name == "sgd":
-        core = optax.sgd(
-            learning_rate=schedule,
-            momentum=float(opt_params.get("momentum", 0.0)) or None,
+        core = keras_sgd(
+            schedule,
+            momentum=float(opt_params.get("momentum", 0.0)),
             nesterov=bool(opt_params.get("nesterov", False)))
     elif name == "adam":
         core = optax.adam(learning_rate=schedule)

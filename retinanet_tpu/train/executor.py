@@ -170,7 +170,8 @@ class Executor:
             compute_dtype=self.compute_dtype,
             ema_decay=self.ema_decay if self.use_ema else None,
             grad_accum_steps=self.grad_accum,
-            clipnorm=t.optimizer.get("clipnorm", None))
+            clipnorm=t.optimizer.get("clipnorm", None),
+            freeze_keys=list(t.get("freeze_variables", [])))
         # steps_per_execution > 1: one on-device lax.scan dispatch over a
         # stack of host batches (reference executor.py:605-621's multi-step
         # tf.function loop). One host->device transfer + one metrics fetch

@@ -24,7 +24,7 @@ TPU-native redesign of the reference's Executor._train_step
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +34,29 @@ from retinanet_tpu.losses.losses import RetinaNetLoss
 from retinanet_tpu.train.train_state import TrainState
 
 
-def _conv_kernel_mask(params) -> list:
+def _conv_kernel_mask(params, exclude_regexes=()) -> list:
     """Leaves (by path) subject to weight decay: conv/dense kernels only —
-    never BN scale/bias or conv biases (reference executor.py:301-327)."""
+    never BN scale/bias or conv biases (reference executor.py:301-327).
+    `exclude_regexes` drops FROZEN kernels: the reference collects decay
+    variables only from layers that are still trainable
+    (executor.py:305-309), so frozen kernels contribute neither to the
+    l2-regularization value nor (trivially) to any update."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     mask = []
     for key_path, _leaf in flat:
         path = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
-        mask.append(path.endswith("kernel"))
+        mask.append(path.endswith("kernel")
+                    and not any(r.search(path) for r in exclude_regexes))
     return mask
 
 
-def weight_decay_loss(params, alpha: float) -> jnp.ndarray:
+def weight_decay_loss(params, alpha: float,
+                      exclude_regexes=()) -> jnp.ndarray:
     """alpha * sum(l2_loss(kernel)) with l2_loss(x) = sum(x^2)/2
     (reference executor.py:296-299)."""
     flat, _ = jax.tree_util.tree_flatten(params)
-    mask = _conv_kernel_mask(params)
+    mask = _conv_kernel_mask(params, exclude_regexes)
     total = jnp.float32(0.0)
     for use, leaf in zip(mask, flat):
         if use:
@@ -70,6 +76,37 @@ def fold_micro_batches(batch: Dict, k: int) -> Dict:
             for key, v in batch.items()}
 
 
+def make_frozen_bn_interceptor(regexes):
+    """Frozen layers run their BatchNorm in INFERENCE mode.
+
+    The reference freezes layers by setting `layer.trainable = False`
+    (executor.py:154-176), and Keras BatchNormalization special-cases
+    trainable=False to forward with MOVING statistics and skip the
+    moving-stat update — so a frozen backbone's BN neither normalizes by
+    batch moments nor advances its running stats. Optimizer masking alone
+    reproduces neither; this interceptor forces
+    `use_running_average=True` on every BatchNorm whose module path
+    matches a freeze regex (caught by the lockstep training-dynamics
+    harness: without it the bn_stats parameter-delta fingerprint is ~5x
+    off under freeze_variables=['backbone'])."""
+    from retinanet_tpu.models.layers import BatchNorm
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, BatchNorm)
+                and context.method_name == "__call__"):
+            path = getattr(mod, "path", None)
+            if path is None and mod.scope is not None:
+                path = mod.scope.path
+            path_str = "/".join(str(p) for p in (path or ()))
+            if any(r.search(path_str) for r in regexes):
+                kwargs = dict(kwargs)
+                kwargs["use_running_average"] = True
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
 def make_train_step(model,
                     loss_fn: RetinaNetLoss,
                     encoder: Callable,
@@ -81,7 +118,8 @@ def make_train_step(model,
                     compute_dtype=jnp.bfloat16,
                     ema_decay: Optional[float] = None,
                     grad_accum_steps: int = 1,
-                    clipnorm: Optional[float] = None):
+                    clipnorm: Optional[float] = None,
+                    freeze_keys: Sequence[str] = ()):
     """Returns step(state, batch) -> (state, metrics). Jit with
     donate_argnums=(0,).
 
@@ -100,20 +138,39 @@ def make_train_step(model,
     high-res configs where activations, not weights, bind per-chip memory.
     """
 
+    if freeze_keys:
+        from retinanet_tpu.models.retinanet import FREEZE_VARS_REGEX
+        wd_exclude = tuple(FREEZE_VARS_REGEX[k] for k in freeze_keys)
+        from retinanet_tpu.optimizers.builder import freeze_mask_fn
+        _trainable_mask_fn = freeze_mask_fn(freeze_keys)
+        _frozen_bn = make_frozen_bn_interceptor(wd_exclude)
+    else:
+        wd_exclude = ()
+        _trainable_mask_fn = None
+        _frozen_bn = None
+
+    def _apply(variables, images):
+        if _frozen_bn is None:
+            return model.apply(variables, images, train=True,
+                               mutable=["batch_stats"])
+        import flax.linen as nn
+        with nn.intercept_methods(_frozen_bn):
+            return model.apply(variables, images, train=True,
+                               mutable=["batch_stats"])
+
     def grads_and_losses(params, batch_stats, norm_ema, batch):
         images = normalizer(batch["image"]).astype(compute_dtype)
         targets = encoder(batch["boxes"], batch["classes"], batch["valid"])
 
         def compute_loss(p):
-            preds, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                images, train=True, mutable=["batch_stats"])
+            preds, mutated = _apply(
+                {"params": p, "batch_stats": batch_stats}, images)
             losses, new_norm_ema = loss_fn(targets, preds, norm_ema)
             total = losses["weighted-loss"]
             if use_weight_decay:
                 # constant across micro-batches, so the accumulated mean
                 # gradient is exact (sum(g + wd)/K == mean(g) + wd)
-                l2 = weight_decay_loss(p, weight_decay_alpha)
+                l2 = weight_decay_loss(p, weight_decay_alpha, wd_exclude)
                 losses["l2-regularization"] = l2
                 total = total + l2
             losses["total-loss"] = total
@@ -214,11 +271,23 @@ def make_train_step(model,
         # so it costs nothing. No *num_replicas factor: the reference's
         # per-replica grads differentiate loss/num_replicas, while these
         # grads are already global-batch grads.
+        g_metric = grads
+        if _trainable_mask_fn is not None:
+            # The reference differentiates only TRAINABLE variables
+            # (executor.py:427-428), so frozen grads enter neither the
+            # clip's global norm nor the logged metric. The optimizer path
+            # already matches (optax.masked exposes only trainable leaves
+            # to the clip chain); mask the metric the same way.
+            mask = _trainable_mask_fn(grads)
+            g_metric = jax.tree_util.tree_map(
+                lambda g, keep: g if keep else jnp.zeros_like(g),
+                grads, mask)
         if clipnorm is not None:
-            clipped, _ = _clip_metric_tx.update(grads, _clip_metric_tx.init(None))
+            clipped, _ = _clip_metric_tx.update(
+                g_metric, _clip_metric_tx.init(None))
             metrics["gradient-norm"] = optax.global_norm(clipped)
         else:
-            metrics["gradient-norm"] = optax.global_norm(grads)
+            metrics["gradient-norm"] = optax.global_norm(g_metric)
         metrics["learning-rate"] = schedule(state.step)
         return new_state, metrics
 

@@ -1,0 +1,60 @@
+"""Lockstep training-dynamics parity vs the EXECUTED reference (slow).
+
+The full-resolution study lives in tools/training_dynamics_parity.py and
+PARITY.md; this test pins the property in CI at a small size: N optimizer
+steps in both frameworks from the same transplanted init on identical
+batches must agree on every loss, the post-clip gradient norm and the
+per-module parameter-delta fingerprints.
+
+Tolerances and why they differ per metric (measured, not guessed — see
+the 1-ulp noise-floor column the tool prints):
+
+* l2-regularization / gradient-norm: pure functions of the (shared)
+  params and the clip — agree to f32 rounding, bound 1e-5.
+* total/class loss: large sums over all anchors — conditioning is mild,
+  bound 5e-3.
+* box-loss: tiny value (~0.06) over the few positive anchors of a
+  RANDOM-weight model at train=True, where BN batch-stats feedback makes
+  the forward chaotic: a 1-ulp (1e-7 relative) perturbation of OUR OWN
+  params moves box-loss by 1-4e-2 (same order as the ref-vs-ours gap),
+  while the loss IMPLEMENTATIONS agree to 3e-7 on identical tensors
+  (ref preds+targets through our box_loss == reference BoxLoss).
+  Bound 0.15 — an order above would indicate semantics, not rounding.
+* per-module param-delta fingerprints: first-order in the grad drift,
+  bound 0.1.
+
+Reference chain matched: executor.py:409-441 (step semantics),
+optimizers/builder.py:27-71 (Keras SGD), losses/retinanet_loss.py:37-83,
+executor.py:301-327 (weight-decay walk), executor.py:401-407 (clip).
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+pytest.importorskip("tensorflow")
+
+
+@pytest.mark.parametrize("mode", ["plain", "freeze"])
+def test_lockstep_training_dynamics(mode):
+    from tools.training_dynamics_parity import run_lockstep
+
+    rows = run_lockstep(mode=mode, n_steps=2, size=128, batch=2,
+                        noise_floor=False)
+    assert len(rows) == 2
+    for row in rows:
+        for key, bound in (("total-loss", 5e-3), ("class-loss", 5e-3),
+                           ("box-loss", 0.15), ("l2-regularization", 1e-5),
+                           ("gradient-norm", 1e-4)):
+            ref, ours, rel = row[key]
+            assert rel <= bound, (
+                f"step {row['step']} {key}: ref={ref} ours={ours} "
+                f"rel={rel:.3e} > {bound}")
+        for module, (ref_fp, our_fp, rel) in row["delta_fp"].items():
+            assert rel <= 0.1, (
+                f"step {row['step']} delta-fingerprint[{module}]: "
+                f"ref={ref_fp} ours={our_fp} rel={rel:.3e} > 0.1")
