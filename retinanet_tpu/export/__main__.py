@@ -160,6 +160,18 @@ def main(argv):
         logging.info("int8 activation calibration (%s): %s -> %s",
                      FLAGS.calibration_mode, report, rpath)
 
+        if FLAGS.stablehlo:
+            import jax
+            # self-contained quantized serving program (the TRT-engine
+            # analog) — evaluate_artifact --use_stablehlo
+            # --use_int8_activations runs this blob
+            hlo_path = serving_lib.serialize_serving_stablehlo(
+                params,
+                {"params": jax.device_get(model_params),
+                 "batch_stats": jax.device_get(executor.state.batch_stats)},
+                FLAGS.export_dir, mode=FLAGS.mode, int8_scales=scales)
+            logging.info("Wrote int8 StableHLO: %s", hlo_path)
+
 
 if __name__ == "__main__":
     app.run(main)

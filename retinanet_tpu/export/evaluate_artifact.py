@@ -44,11 +44,6 @@ def evaluate(artifact_dir: str,
     from retinanet_tpu.export.serving import load_artifact
     from retinanet_tpu.utils.image_utils import read_image
 
-    if use_stablehlo and use_int8_activations:
-        raise ValueError(
-            "--use_stablehlo executes the frozen fp graph; it cannot be "
-            "combined with --use_int8_activations (the int8 lane runs "
-            "through the rebuilt-from-weights path)")
     module = load_artifact(artifact_dir, use_stablehlo=use_stablehlo,
                            use_int8_activations=use_int8_activations)
     params = module.params

@@ -47,6 +47,7 @@ EXPORT_MODES = ("tf", "tf_tensorrt", "onnx", "onnx_tensorrt")
 _WEIGHTS_FILE = "params.msgpack"
 _CONFIG_FILE = "config.json"
 _STABLEHLO_FILE = "serving_default.stablehlo"
+_STABLEHLO_INT8_FILE = "serving_int8.stablehlo"
 
 
 def _mode_flags(mode: str) -> Tuple[bool, bool]:
@@ -110,22 +111,40 @@ def export_artifact(params: ConfigDict,
     written["weights"] = weights_path
 
     if serialize_stablehlo:
-        from jax import export as jax_export
-        serving = build_serving_fn(params, mode)
-        batch = int(params.inference.batch_size)
-        h, w = params.input.input_shape
-        spec = jax.ShapeDtypeStruct(
-            (batch, int(h), int(w), int(params.input.channels)), jnp.float32)
-        closed = jax.jit(
-            lambda images: serving(state["params"], state["batch_stats"],
-                                   images))
-        exported = jax_export.export(closed)(spec)
-        blob = exported.serialize()
-        hlo_path = os.path.join(output_dir, _STABLEHLO_FILE)
-        with open(hlo_path, "wb") as f:
-            f.write(blob)
-        written["stablehlo"] = hlo_path
+        written["stablehlo"] = serialize_serving_stablehlo(
+            params, state, output_dir, mode=mode)
     return written
+
+
+def serialize_serving_stablehlo(params: ConfigDict, state: Dict,
+                                output_dir: str, mode: str = "tf",
+                                int8_scales: Optional[Dict[str, float]]
+                                = None) -> str:
+    """AOT-serialize a serving graph closed over the weights.
+
+    With `int8_scales` the int8-activation lane is serialized: the
+    per-channel weight quantization happens at trace time from the f32
+    params (export/quantize.py interceptor), so the blob is a
+    self-contained quantized program — the analog of the reference's
+    self-contained TensorRT INT8 engine (reference
+    tensorrt/builder.py:46-91), where calibration also happened at build
+    time and the engine carried the result."""
+    from jax import export as jax_export
+    serving = build_serving_fn(params, mode, int8_scales=int8_scales)
+    batch = int(params.inference.batch_size)
+    h, w = params.input.input_shape
+    spec = jax.ShapeDtypeStruct(
+        (batch, int(h), int(w), int(params.input.channels)), jnp.float32)
+    closed = jax.jit(
+        lambda images: serving(state["params"], state["batch_stats"],
+                               images))
+    exported = jax_export.export(closed)(spec)
+    blob = exported.serialize()
+    hlo_path = os.path.join(
+        output_dir, _STABLEHLO_INT8_FILE if int8_scales else _STABLEHLO_FILE)
+    with open(hlo_path, "wb") as f:
+        f.write(blob)
+    return hlo_path
 
 
 class ServingModule:
@@ -210,11 +229,19 @@ def load_artifact(artifact_dir: str, mode: str = "tf",
         state = flax.serialization.from_bytes(template, f.read())
 
     exported = None
-    hlo_path = os.path.join(artifact_dir, _STABLEHLO_FILE)
-    if use_stablehlo and os.path.exists(hlo_path):
-        from jax import export as jax_export
-        with open(hlo_path, "rb") as f:
-            exported = jax_export.deserialize(f.read())
+    hlo_name = _STABLEHLO_INT8_FILE if use_int8_activations \
+        else _STABLEHLO_FILE
+    hlo_path = os.path.join(artifact_dir, hlo_name)
+    if use_stablehlo:
+        if not os.path.exists(hlo_path):
+            if use_int8_activations:
+                raise FileNotFoundError(
+                    f"{hlo_path} missing — export with --int8_activations "
+                    "(and --stablehlo) to serialize the int8 serving graph")
+        else:
+            from jax import export as jax_export
+            with open(hlo_path, "rb") as f:
+                exported = jax_export.deserialize(f.read())
 
     return ServingModule(
         params, build_serving_fn(params, mode, int8_scales=int8_scales),

@@ -153,3 +153,51 @@ def test_load_artifact_int8_activation_lane(tmp_path, tiny):
     (tmp_path / "activation_scales.json").unlink()
     with pytest.raises(FileNotFoundError):
         serving_lib.load_artifact(str(tmp_path), use_int8_activations=True)
+
+
+def test_int8_stablehlo_roundtrip(tmp_path, tiny):
+    """The int8 lane is a self-contained serialized artifact (the
+    reference's TRT INT8 engine analog, tensorrt/builder.py:46-91):
+    serving_int8.stablehlo must deserialize and agree with the
+    rebuilt-from-config+weights int8 path on a fixed batch."""
+    import json
+
+    from retinanet_tpu.data.preprocessing import make_device_normalizer
+    from retinanet_tpu.export.calibration import calibrate_activations
+
+    params, variables = tiny
+    serving_lib.export_artifact(
+        params, variables["params"], variables["batch_stats"],
+        str(tmp_path), serialize_stablehlo=False)
+    normalizer = make_device_normalizer(params)
+    batches = [np.random.default_rng(i).uniform(
+        0, 255, (2, 64, 64, 3)).astype(np.float32) for i in range(2)]
+    model = build_model(params)
+    scales = calibrate_activations(
+        model, {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]},
+        batches, mode="minmax",
+        preprocess=lambda im: normalizer(im).astype(jnp.float32))
+    with open(tmp_path / "activation_scales.json", "w") as f:
+        json.dump({"mode": "minmax", "scales": scales}, f)
+    state = {"params": jax.device_get(variables["params"]),
+             "batch_stats": jax.device_get(variables["batch_stats"])}
+    hlo_path = serving_lib.serialize_serving_stablehlo(
+        params, state, str(tmp_path), int8_scales=scales)
+    assert hlo_path.endswith("serving_int8.stablehlo")
+
+    module = serving_lib.load_artifact(
+        str(tmp_path), use_stablehlo=True, use_int8_activations=True)
+    images = np.random.default_rng(0).uniform(
+        0, 255, (2, 64, 64, 3)).astype(np.float32)
+    det_rebuilt = module.run_inference(images)   # rebuilt int8 path
+    det_hlo = module.run_exported(images)        # frozen int8 program
+    for key in ("scores", "boxes", "classes", "valid_detections"):
+        np.testing.assert_allclose(det_rebuilt[key], det_hlo[key],
+                                   rtol=1e-5, atol=1e-5)
+
+    # asking for the int8 blob when only the fp one exists -> loud error
+    (tmp_path / "serving_int8.stablehlo").unlink()
+    with pytest.raises(FileNotFoundError):
+        serving_lib.load_artifact(str(tmp_path), use_stablehlo=True,
+                                  use_int8_activations=True)
