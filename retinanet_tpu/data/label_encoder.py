@@ -136,7 +136,8 @@ def encode(anchor_boxes: jnp.ndarray,
            match_iou: float = 0.5,
            ignore_iou: float = 0.5,
            box_variance=(0.1, 0.1, 0.2, 0.2),
-           scale_box_targets: bool = False) -> EncodedLabels:
+           scale_box_targets: bool = False,
+           use_pallas: Optional[bool] = None) -> EncodedLabels:
     """Encode one sample. vmap over the batch for batched encoding.
 
     Args:
@@ -144,11 +145,15 @@ def encode(anchor_boxes: jnp.ndarray,
       gt_boxes: (G, 4) center-format pixel boxes, padded with zeros.
       gt_classes: (G,) int32 class ids.
       gt_valid: (G,) bool validity mask.
+      use_pallas: force the Pallas (True) / XLA (False) matcher; None
+        auto-selects (Pallas on TPU). A/B hook for
+        tools/verify_pallas_tpu.py.
     """
     anchor_boxes = anchor_boxes.astype(jnp.float32)
     gt_boxes = gt_boxes.astype(jnp.float32)
     matches, _ = match_anchors(
-        anchor_boxes, gt_boxes, gt_valid, match_iou, ignore_iou)
+        anchor_boxes, gt_boxes, gt_valid, match_iou, ignore_iou,
+        use_pallas=use_pallas)
 
     # Gather of the tiny (G, 5) GT table by (A,) indices reformulated as a
     # one-hot matmul: XLA:TPU's dynamic gather measured 5.5 ms/step (B=16)
@@ -204,10 +209,12 @@ def to_pyramid(encoded: EncodedLabels,
 
 def make_batched_encoder(anchors: AnchorGenerator,
                          encoder_params,
-                         use_iou_targets: bool = False):
+                         use_iou_targets: bool = False,
+                         use_pallas: Optional[bool] = None):
     """Returns fn(gt_boxes (B,G,4), gt_classes (B,G), gt_valid (B,G)) ->
     pyramid targets dict with batched leaves. Jit-safe; anchors are folded
-    in as a compile-time constant."""
+    in as a compile-time constant. ``use_pallas`` forces the matcher lane
+    (None = auto: Pallas on TPU)."""
     anchor_const = jnp.asarray(anchors.boxes)
     match_iou = float(encoder_params.match_iou)
     ignore_iou = float(encoder_params.ignore_iou)
@@ -216,7 +223,8 @@ def make_batched_encoder(anchors: AnchorGenerator,
 
     def _single(gt_boxes, gt_classes, gt_valid):
         return encode(anchor_const, gt_boxes, gt_classes, gt_valid,
-                      match_iou, ignore_iou, variance, scale_targets)
+                      match_iou, ignore_iou, variance, scale_targets,
+                      use_pallas=use_pallas)
 
     def _batched(gt_boxes, gt_classes, gt_valid):
         enc = jax.vmap(_single)(gt_boxes, gt_classes, gt_valid)

@@ -1,0 +1,99 @@
+"""Executor-level end-to-end eval wall-clock on a 5k-image synthetic val.
+
+Times the FULL production evaluation path at flagship geometry — host
+JPEG decode + preprocess, device inference (pipelined eval loop), the
+detection gather, and the native vectorized COCOeval — so eval cost is
+tracked the way train cost already is (BENCH_r*). The reference's
+in-loop `validation_freq` evaluation stalls the chief for the full eval;
+this records how long that stall actually is here.
+
+Usage: python tools/eval_walltime.py [--num_images 5000] [--input_size 640]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_integer("num_images", 5000, "val set size")
+flags.DEFINE_integer("eval_input_size", 640, "square input resolution")
+flags.DEFINE_string("eval_workdir", None, "working directory")
+
+
+def main(argv):
+    del argv
+    import retinanet_tpu.core.cache  # noqa: F401
+    from retinanet_tpu.data.pipeline import InputPipeline
+    from retinanet_tpu.data.synthetic import write_synthetic_tfrecords
+    from retinanet_tpu.eval import coco_evaluator as ce
+    from retinanet_tpu.train.executor import Executor
+    from tools.overfit_check import make_params
+
+    size = FLAGS.eval_input_size
+    workdir = FLAGS.eval_workdir or tempfile.mkdtemp(prefix="evalwall_")
+    data_dir = os.path.join(workdir, "data")
+    n = FLAGS.num_images
+    if not os.path.isdir(data_dir):
+        t0 = time.time()
+        write_synthetic_tfrecords(
+            data_dir, "train", num_shards=8, samples_per_shard=n // 8,
+            num_classes=6, write_annotations=True, seed=3)
+        print(f"wrote {n} synthetic {size}-ready records in "
+              f"{time.time() - t0:.1f}s")
+    import glob
+    pattern = os.path.join(data_dir, "train-*")
+    ann = glob.glob(os.path.join(data_dir, "annotations_*.json"))[0]
+
+    params = make_params(workdir, pattern, ann, steps=1,
+                         input_size=size, depth=50, filters=256,
+                         head_convs=4)
+    params.training.validation_samples = n
+
+    ex = Executor(params, run_mode="val",
+                  val_input_fn=lambda: InputPipeline("val", params),
+                  enable_tensorboard=False)
+
+    # time the final COCOeval (evaluate+accumulate+summarize) separately
+    # from the inference/gather loop via a timing shim
+    coco_time = {}
+    orig_eval = ce.COCOEvaluator.evaluate
+
+    def timed_eval(self):
+        t0 = time.time()
+        out = orig_eval(self)
+        coco_time["s"] = time.time() - t0
+        return out
+
+    ce.COCOEvaluator.evaluate = timed_eval
+    try:
+        t0 = time.time()
+        scores = ex.evaluate()
+        total = time.time() - t0
+    finally:
+        ce.COCOEvaluator.evaluate = orig_eval
+
+    report = {
+        "num_images": n,
+        "input_size": size,
+        "eval_total_s": round(total, 2),
+        "coco_eval_s": round(coco_time.get("s", -1.0), 2),
+        "inference_gather_s": round(total - coco_time.get("s", 0.0), 2),
+        "imgs_per_sec_e2e": round(n / total, 1),
+        "scores": {k: round(v, 4) for k, v in scores.items()},
+    }
+    out_path = os.path.join(workdir, "eval_walltime.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    app.run(main)
