@@ -13,7 +13,10 @@ Usage: python tools/remat_memory_probe.py [--batches 8,16,24,32]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import retinanet_tpu.core.cache  # noqa: F401
 
