@@ -198,7 +198,11 @@ class Executor:
         self.ckpt_manager = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=10, create=True))
+                max_to_keep=10, create=True,
+                # periodic saves overlap the disk write with training
+                # (_save_checkpoint blocking=False); durability-critical
+                # saves (preemption/final/rewind) wait explicitly
+                enable_async_checkpointing=True))
 
         # -- observability ------------------------------------------------------
         # chief-only sinks: on a pod every host runs this loop against one
@@ -316,15 +320,31 @@ class Executor:
                 stats, mesh_lib.replicated(self.mesh)))
 
     def latest_checkpoint_step(self) -> Optional[int]:
+        # an async save may still be committing its metadata — settle first
+        # so "latest" never names a partially-written step
+        self.ckpt_manager.wait_until_finished()
         return self.ckpt_manager.latest_step()
 
-    def _save_checkpoint(self, step: int) -> None:
+    def _save_checkpoint(self, step: int, blocking: bool = True) -> None:
+        """Checkpoint the full TrainState (reference save_weights,
+        ref:649-654).
+
+        Periodic in-loop saves run with ``blocking=False``: the device
+        snapshot (``jax.device_get`` — mandatory, the step donates the
+        state buffers) stays synchronous but orbax serializes it to disk
+        on a background thread, so the train loop only stalls for the
+        D2H fetch instead of the full disk write. Preemption, rewind and
+        final saves stay blocking — those paths exit or restore
+        immediately after, so the write must be durable first.
+        """
         self.ckpt_manager.save(
             step, args=self._ocp.args.StandardSave(
                 jax.device_get(self.state)))
-        self.ckpt_manager.wait_until_finished()
+        if blocking:
+            self.ckpt_manager.wait_until_finished()
 
     def _restore_checkpoint(self, step: int) -> None:
+        self.ckpt_manager.wait_until_finished()  # settle in-flight saves
         abstract = jax.tree_util.tree_map(
             self._ocp.utils.to_shape_dtype_struct, jax.device_get(self.state))
         restored = self.ckpt_manager.restore(
@@ -526,7 +546,7 @@ class Executor:
                     prev // interval)
 
             if self.save_every and _crossed(self.save_every):
-                self._save_checkpoint(current)
+                self._save_checkpoint(current, blocking=False)
 
             if (self.enable_weights_info
                     and _crossed(50 * max(self.steps_per_execution, 1))):
