@@ -688,23 +688,43 @@ class Executor:
                     "resize_scale": meta["resize_scale"],
                 })
 
-        pending = None  # one-deep inference pipeline
-        for batch in pipe:
-            if max_batches is not None and n_batches >= max_batches:
-                break
-            if host_sharded:
-                images = mesh_lib.shard_batch(
-                    {"image": batch["image"]}, self.mesh)["image"]
-            else:
-                images = mesh_lib.shard_global_batch(
-                    {"image": batch["image"]}, self.mesh)["image"]
-            detections = infer(params, self.state.batch_stats, images)
+        # Stage val batches onto the devices through the same background
+        # prefetcher the train loop uses (data/prefetch.py): the H2D copy
+        # of batch N+1 rides under inference for batch N instead of
+        # serializing [upload -> infer -> gather] per batch. The producer
+        # enforces max_batches so no extra host decode/upload happens past
+        # the validation_samples bound.
+        batch_iter = iter(pipe)
+        produced = [0]
+
+        def make_eval_batch():
+            if max_batches is not None and produced[0] >= max_batches:
+                raise StopIteration
+            batch = next(batch_iter)
+            produced[0] += 1
+            shard = (mesh_lib.shard_batch if host_sharded
+                     else mesh_lib.shard_global_batch)
+            images = shard({"image": batch["image"]}, self.mesh)["image"]
             meta = {"image_id": batch["image_id"],
                     "resize_scale": batch["resize_scale"]}
-            if pending is not None:
-                _gather_and_accumulate(*pending)
-            pending = (detections, meta)
-            n_batches += 1
+            return images, meta
+
+        depth = int(self.params.training.get("device_prefetch", 2))
+        staged = (DevicePrefetcher(make_eval_batch, max(depth, 1))
+                  if depth > 0 else iter(make_eval_batch, None))
+        pending = None  # one-deep inference pipeline
+        try:
+            for images, meta in staged:
+                detections = infer(params, self.state.batch_stats, images)
+                if pending is not None:
+                    _gather_and_accumulate(*pending)
+                pending = (detections, meta)
+                n_batches += 1
+        except StopIteration:  # iter(make_eval_batch, None) path
+            pass
+        finally:
+            if isinstance(staged, DevicePrefetcher):
+                staged.close()
         if pending is not None:
             _gather_and_accumulate(*pending)
         logging.info("Evaluated %d batches", n_batches)

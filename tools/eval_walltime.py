@@ -7,7 +7,7 @@ tracked the way train cost already is (BENCH_r*). The reference's
 in-loop `validation_freq` evaluation stalls the chief for the full eval;
 this records how long that stall actually is here.
 
-Usage: python tools/eval_walltime.py [--num_images 5000] [--input_size 640]
+Usage: python tools/eval_walltime.py [--eval_num_images 5000] [--eval_input_size 640]
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from absl import app, flags
 
 FLAGS = flags.FLAGS
-flags.DEFINE_integer("num_images", 5000, "val set size")
+flags.DEFINE_integer("eval_num_images", 5000, "val set size")
 flags.DEFINE_integer("eval_input_size", 640, "square input resolution")
 flags.DEFINE_string("eval_workdir", None, "working directory")
 
@@ -40,7 +40,7 @@ def main(argv):
     size = FLAGS.eval_input_size
     workdir = FLAGS.eval_workdir or tempfile.mkdtemp(prefix="evalwall_")
     data_dir = os.path.join(workdir, "data")
-    n = FLAGS.num_images
+    n = FLAGS.eval_num_images
     if not os.path.isdir(data_dir):
         t0 = time.time()
         write_synthetic_tfrecords(
@@ -56,6 +56,12 @@ def main(argv):
                          input_size=size, depth=50, filters=256,
                          head_convs=4)
     params.training.validation_samples = n
+    # flagship detection load: 100 dets/image with score_threshold 0 so
+    # the COCOeval leg sees the worst-case matching volume even though
+    # the model is untrained (threshold 0.3 on a prior-initialized head
+    # emits ~0 detections and would make the COCOeval time meaningless)
+    params.inference.max_detections = 100
+    params.inference.score_threshold = 0.0
 
     ex = Executor(params, run_mode="val",
                   val_input_fn=lambda: InputPipeline("val", params),
