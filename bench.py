@@ -16,11 +16,21 @@ import retinanet_tpu.core.cache  # noqa: F401,E402  persistent XLA cache
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Progress marker on stderr so stalled runs are diagnosable (the
+    tunneled TPU runtime can be slow; stdout stays one JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP = 40.3
 BASELINE_INFER_FPS = 90.0
@@ -45,6 +55,7 @@ def main():
     train_bs = 16 * n_chips
     infer_bs = 8
 
+    _mark("building model")
     model = build_model(params)
     anchors = anchor_lib.from_params(params)
     encoder = make_batched_encoder(anchors, params.encoder_params)
@@ -74,8 +85,10 @@ def main():
     # completion with one scalar fetch (utils/benchmark.py).
     from retinanet_tpu.utils.benchmark import chained_step_time, device_time
 
+    _mark("compiling train step")
     state, metrics = train_step(state, batch)  # compile
     float(metrics["total-loss"])
+    _mark("timing train step")
     dt, state = chained_step_time(train_step, state, batch, iters=20)
     train_imgs_per_sec = train_bs / dt
     train_imgs_per_sec_per_chip = train_imgs_per_sec / n_chips
@@ -84,6 +97,7 @@ def main():
     # MFU vs the chip's bf16 peak, and a measured HBM stream rate — so
     # every perf claim here is auditable against the roofline at a glance.
     PEAK_BF16_TFLOPS = 197.0  # TPU v5e MXU peak (public spec)
+    _mark("cost analysis")
     train_an = train_step.lower(state, batch).compile().cost_analysis()
     if isinstance(train_an, list):
         train_an = train_an[0]
@@ -123,6 +137,7 @@ def main():
     # work is contended with the tunnel client's threads (measured 158 vs
     # 323/350/297 imgs/s across consecutive passes) — the steady-state
     # capacity is the quantity the cores-per-chip feed ratio needs.
+    _mark("host pipeline passes")
     host_imgs_per_sec = 0.0
     for _ in range(3):
         host_iter = iter(InputPipeline("train", params, batch_size=train_bs))
@@ -135,6 +150,7 @@ def main():
             host_imgs_per_sec, 8 * train_bs / (time.time() - t0))
         del host_iter
 
+    _mark("e2e input-bound path")
     pipe_iter = iter(InputPipeline("train", params, batch_size=train_bs))
     warm = mesh_lib.shard_batch(next(pipe_iter), mesh)
     state, m = train_step(state, warm)  # uint8-input variant compile
@@ -156,6 +172,7 @@ def main():
     batches.close()
 
     # ---- batched inference (full serving path incl. NMS) -------------------
+    _mark("bf16 serving lane")
     infer = make_inference_fn(
         model, params, anchors, normalizer, compute_dtype=jnp.bfloat16)
     images = jnp.asarray(
@@ -172,6 +189,7 @@ def main():
     # (tools/int8_quality_check.py: AP 0.7137 fp -> 0.7092 int8-entropy).
     from retinanet_tpu.export.calibration import calibrate_activations
     from retinanet_tpu.export.quantize import Int8Model
+    _mark("int8 serving lane (calibrate + compile)")
     calib = [np.asarray(np.random.default_rng(i).uniform(
         0, 255, (4, 640, 640, 3)), np.float32) for i in range(2)]
     scales = calibrate_activations(
@@ -185,7 +203,16 @@ def main():
         lambda im: infer_q(state.params, state.batch_stats, im),
         images, iters=20)
     int8_fps = infer_bs / int8_dt
+    # peak-throughput serving point (reports/serving_sweep_640.json:
+    # int8 FPS peaks at bs16 across the bs 1..32 sweep)
+    _mark("int8 bs16 serving point")
+    images16 = jnp.concatenate([images, images], axis=0)
+    int8_dt16 = device_time(
+        lambda im: infer_q(state.params, state.batch_stats, im),
+        images16, iters=20)
+    int8_fps16 = 16 / int8_dt16
 
+    _mark("done; printing")
     print(json.dumps({
         "metric": "train images/sec/chip (640x640, bf16, full step)",
         "value": round(train_imgs_per_sec_per_chip, 2),
@@ -200,6 +227,7 @@ def main():
         "infer_fps_vs_target90": round(infer_fps / BASELINE_INFER_FPS, 3),
         "infer_latency_ms": round(infer_dt * 1000, 2),
         "int8_infer_fps_bs8": round(int8_fps, 1),
+        "int8_infer_fps_bs16": round(int8_fps16, 1),
         "flops_per_image_fwd_g": round(fwd_flops_img / 1e9, 1),
         "train_flops_per_step_g": round(train_flops_step / 1e9, 1),
         "achieved_tflops_train": round(achieved_tflops_train, 1),

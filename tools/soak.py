@@ -33,6 +33,10 @@ flags.DEFINE_string("workdir", "/tmp/soak", "soak working directory")
 flags.DEFINE_integer("steps", 3000, "total train steps")
 flags.DEFINE_integer("spe", 200, "steps per execution")
 flags.DEFINE_integer("bs", 16, "train batch size")
+flags.DEFINE_integer(
+    "validation_freq", -1,
+    "run the full in-loop eval (pipelined device inference + gather + "
+    "native COCOeval) every N steps; <=0 trains without eval (r03 mode)")
 
 
 def make_params(workdir: str, pattern: str, ann: str):
@@ -46,7 +50,7 @@ def make_params(workdir: str, pattern: str, ann: str):
     cfg["training"]["train_steps"] = FLAGS.steps
     cfg["training"]["steps_per_execution"] = FLAGS.spe
     cfg["training"]["save_every"] = 1000
-    cfg["training"]["validation_freq"] = -1
+    cfg["training"]["validation_freq"] = FLAGS.validation_freq
     cfg["training"]["annotation_file_path"] = ann
     cfg["training"]["recovery"] = {
         "use_inflection_detector": True,
@@ -61,9 +65,12 @@ def run_phase(params, label: str):
     from retinanet_tpu.data.pipeline import InputPipeline
     from retinanet_tpu.train.executor import Executor
 
+    with_val = FLAGS.validation_freq > 0
     ex = Executor(
-        params, run_mode="train",
+        params, run_mode="train_val" if with_val else "train",
         train_input_fn=lambda: InputPipeline("train", params),
+        val_input_fn=(
+            (lambda: InputPipeline("val", params)) if with_val else None),
         enable_tensorboard=True)
     start_step = int(ex.state.step)
     t0 = time.time()
@@ -123,6 +130,7 @@ def main(argv):
         "profile_captured": os.path.isdir(profile_dir),
         "batch_size": FLAGS.bs,
         "steps_per_execution": FLAGS.spe,
+        "validation_freq": FLAGS.validation_freq,
     }
     out = os.path.join(FLAGS.workdir, "soak_report.json")
     with open(out, "w") as f:
