@@ -38,7 +38,10 @@ inline double box_iou(const double* d, const double* g, bool crowd) {
   const double g_area = g[2] * g[3];
   const double uni = crowd ? d_area : d_area + g_area - inter;
   if (uni <= 0) return 0.0;
-  return inter / uni;
+  // Clamp the denominator exactly as the Python spec does
+  // (eval/coco.py: inter / np.maximum(union, 1e-10)) so degenerate
+  // sub-1e-10-area boxes stay bit-for-bit equivalent across lanes.
+  return inter / (uni > 1e-10 ? uni : 1e-10);
 }
 
 }  // namespace

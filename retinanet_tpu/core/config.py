@@ -243,3 +243,60 @@ def from_dict(tree: Mapping) -> ConfigDict:
     """Build validated params from an in-memory dict (tests / programmatic)."""
     merged = deep_merge(copy.deepcopy(_DEFAULTS), tree)
     return validate(_wrap(merged))
+
+
+class _TracingConfigDict(ConfigDict):
+    """ConfigDict that records every LEAF read (dotted path) into a shared
+    set. Backs the consumed-knob audit (tests/test_knob_audit.py): drive
+    the framework over a traced config and every schema key must have been
+    READ, or be explicitly declared inert — the check that catches
+    accepted-but-never-wired knobs (the `use_bias_before_bn` class) for
+    the whole schema, not a hand-picked subset.
+
+    Deliberately neutral operations (no read recorded): `to_dict()` /
+    plain dict iteration (`items`/`keys`/`values`) and `dict(...)` copies
+    — the Executor dumps the full config to JSON at init, which must not
+    count as consumption."""
+
+    def __init__(self, data: Mapping, prefix: str, reads: set):
+        super().__init__()
+        object.__setattr__(self, "_trace_prefix", prefix)
+        object.__setattr__(self, "_trace_reads", reads)
+        for k, v in data.items():
+            p = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, Mapping):
+                dict.__setitem__(self, k, _TracingConfigDict(v, p, reads))
+            else:
+                dict.__setitem__(self, k, v)
+
+    def __getitem__(self, key):
+        value = dict.__getitem__(self, key)
+        if not isinstance(value, dict):
+            prefix = self._trace_prefix
+            self._trace_reads.add(f"{prefix}.{key}" if prefix else str(key))
+        return value
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __setattr__(self, name, value):
+        if name.startswith("_trace"):
+            object.__setattr__(self, name, value)
+        else:
+            self[name] = value
+
+    def __deepcopy__(self, memo):
+        # keep tracing through deep copies (shared reads set)
+        return _TracingConfigDict(
+            copy.deepcopy(self.to_dict(), memo),
+            self._trace_prefix, self._trace_reads)
+
+
+def trace_reads(params: ConfigDict):
+    """Returns (traced_params, reads): a deep tracing copy of `params`
+    and the live set that accumulates dotted leaf paths on every read."""
+    reads: set = set()
+    return _TracingConfigDict(params, "", reads), reads

@@ -88,7 +88,7 @@ class InputPipeline:
                  process_index: int = 0,
                  process_count: int = 1,
                  batch_size: Optional[int] = None,
-                 max_boxes: int = 100,
+                 max_boxes: Optional[int] = None,
                  num_workers: int = 16,
                  prefetch: int = 4,
                  seed: int = 1337,
@@ -109,7 +109,11 @@ class InputPipeline:
         self.val_shard_count = int(val_shard_count)
         self.run_mode = run_mode
         self.params = params
-        self.max_boxes = max_boxes
+        # padded-GT row count defaults from encoder_params.max_boxes (the
+        # schema key owning static GT shapes); explicit ctor arg wins
+        self.max_boxes = int(
+            max_boxes if max_boxes is not None
+            else params.encoder_params.get("max_boxes", 100))
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed
@@ -137,7 +141,7 @@ class InputPipeline:
 
         self.shuffle_buffer = int(
             params.dataloader_params.get("shuffle_buffer_size", 1024))
-        self.preprocessor = HostPreprocessor(params, max_boxes=max_boxes)
+        self.preprocessor = HostPreprocessor(params, max_boxes=self.max_boxes)
         if run_mode == "val":
             # no augmentation on the val path
             self.preprocessor.use_augmentation = False

@@ -233,15 +233,19 @@ def load_artifact(artifact_dir: str, mode: str = "tf",
         else _STABLEHLO_FILE
     hlo_path = os.path.join(artifact_dir, hlo_name)
     if use_stablehlo:
+        # A missing blob fails HERE for both lanes (fp and int8): the
+        # same user error must not defer to a confusing run_exported()
+        # failure for one lane and raise at load for the other.
         if not os.path.exists(hlo_path):
-            if use_int8_activations:
-                raise FileNotFoundError(
-                    f"{hlo_path} missing — export with --int8_activations "
-                    "(and --stablehlo) to serialize the int8 serving graph")
-        else:
-            from jax import export as jax_export
-            with open(hlo_path, "rb") as f:
-                exported = jax_export.deserialize(f.read())
+            hint = ("export with --int8_activations (and --stablehlo) to "
+                    "serialize the int8 serving graph"
+                    if use_int8_activations else
+                    "export with serialize_stablehlo=True (the CLI default) "
+                    "to serialize the serving graph")
+            raise FileNotFoundError(f"{hlo_path} missing — {hint}")
+        from jax import export as jax_export
+        with open(hlo_path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
 
     return ServingModule(
         params, build_serving_fn(params, mode, int8_scales=int8_scales),

@@ -73,10 +73,25 @@ class RetinaNet(nn.Module):
 
 
 def _compute_dtype(precision: str):
+    if precision == "mixed_float16":
+        # The reference trains fp16 with DYNAMIC LOSS SCALING (reference
+        # optimizers/builder.py:61-65, __main__.py:75-80) because fp16's
+        # 5-bit exponent underflows small gradients. TPUs have no fp16
+        # compute path; bf16 keeps fp32's 8-bit exponent range, so the
+        # substitution needs no loss scaling and is numerically SAFER —
+        # but it IS a substitution, so say so loudly rather than
+        # silently rewriting the knob (docs/configuration.md, "precision").
+        import logging
+        logging.getLogger(__name__).warning(
+            "floatx.precision='mixed_float16' requested: TPUs have no fp16 "
+            "compute path; substituting bfloat16 (same memory footprint, "
+            "wider exponent, no loss scaling needed). The reference's "
+            "dynamic loss scaling has intentionally no counterpart here. "
+            "Set floatx.precision='mixed_bfloat16' to silence this warning.")
     return {
         "float32": jnp.float32,
         "mixed_bfloat16": jnp.bfloat16,
-        "mixed_float16": jnp.bfloat16,  # fp16 has no TPU advantage; use bf16
+        "mixed_float16": jnp.bfloat16,
     }[precision]
 
 

@@ -80,6 +80,24 @@ def keras_sgd(schedule: Callable, momentum: float = 0.0,
     tools/training_dynamics_parity.py.
     """
 
+    if momentum == 0.0:
+        # Momentum-less SGD needs no velocity buffer (the update is
+        # -lr*g regardless of history; nesterov degenerates to the same
+        # expression) — keep only the schedule counter instead of a
+        # params-sized HBM buffer.
+        def init_fn(params):
+            del params
+            return KerasSGDState(count=jnp.zeros([], jnp.int32),
+                                 velocity=None)
+
+        def update_fn(updates, state, params=None):
+            del params
+            lr = jnp.asarray(schedule(state.count), jnp.float32)
+            out = jax.tree_util.tree_map(lambda g: -lr * g, updates)
+            return out, KerasSGDState(count=state.count + 1, velocity=None)
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
     def init_fn(params):
         return KerasSGDState(
             count=jnp.zeros([], jnp.int32),

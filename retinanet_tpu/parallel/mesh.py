@@ -43,6 +43,51 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             process_id=process_id)
 
 
+def resolve_strategy(strategy_params) -> str:
+    """Consume training.strategy the JAX way (reference distribute.py:7-60).
+
+    The reference dispatched on `strategy.type` to build a tf.distribute
+    strategy and resolved `strategy.name` into a TPUClusterResolver
+    (TPU_NAME env var overriding the config, distribute.py:26-42). Under
+    JAX there is no strategy object — the runtime owns device discovery
+    and GSPMD owns distribution — so this validates the requested type
+    against the live backend (loud mismatch warning instead of silently
+    training on the wrong hardware), applies the same TPU_NAME override
+    semantics for logging, and rejects unknown types exactly as the
+    reference did. Returns the resolved device/TPU name.
+    """
+    import logging as _logging
+    log = _logging.getLogger(__name__)
+    stype = str(strategy_params.get("type", "tpu")).lower()
+    name = str(strategy_params.get("name", ""))
+    if stype not in ("tpu", "gpu", "multi_gpu", "cpu"):
+        raise ValueError(
+            f"Unsupported training.strategy.type: {stype!r} "
+            "(expected tpu / gpu / multi_gpu / cpu)")
+    if stype == "tpu":
+        env_name = os.environ.get("TPU_NAME", "")
+        if env_name and env_name != name:
+            log.warning("TPU name %r overridden to %r by env TPU_NAME",
+                        name, env_name)
+            name = env_name
+    backend = jax.default_backend()
+    # axon = tunneled TPU runtime; CPU is always accepted so the virtual
+    # multi-device test mesh (JAX_PLATFORMS=cpu) can run any config as-is
+    compatible = {"tpu": ("tpu", "axon", "cpu"),
+                  "gpu": ("gpu", "cuda", "rocm", "cpu"),
+                  "multi_gpu": ("gpu", "cuda", "rocm", "cpu"),
+                  "cpu": ("cpu",)}[stype]
+    if backend not in compatible:
+        log.warning(
+            "training.strategy.type=%r but the JAX backend is %r — "
+            "proceeding on %d %s device(s)", stype, backend,
+            jax.device_count(), backend)
+    else:
+        log.info("strategy %s(name=%r) resolved to %d %s device(s)",
+                 stype, name, jax.device_count(), backend)
+    return name
+
+
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
                 axis_name: str = DATA_AXIS,
                 spatial: int = 1) -> Mesh:

@@ -112,7 +112,8 @@ class MetricsLogger:
     evaluation/* (reference executor.py:346-383)."""
 
     def __init__(self, log_dir: str, name: str = "train",
-                 use_tensorboard: bool = True, enabled: bool = True):
+                 use_tensorboard: bool = True, enabled: bool = True,
+                 tensorboard_dir: str = ""):
         # `enabled=False` makes every method a no-op — multi-host runs pass
         # chief-only so P hosts don't interleave writes into one shared
         # JSONL / TB event file (model_dir is shared, e.g. gs://)
@@ -126,8 +127,12 @@ class MetricsLogger:
         if use_tensorboard:
             try:
                 import tensorflow as tf  # optional, host-side only
+                # experiment.tensorboard_dir, when set, owns the TB event
+                # root (reference executor.py:55,208-215 wrote summaries
+                # under tensorboard_dir/<experiment>/{train,eval}); the
+                # JSONL mirror always stays under log_dir.
                 self._tb = tf.summary.create_file_writer(
-                    os.path.join(log_dir, name))
+                    tensorboard_dir or os.path.join(log_dir, name))
             except Exception:
                 self._tb = None
 

@@ -81,7 +81,7 @@ class Executor:
                  is_multi_host: bool = False,
                  train_input_fn: Optional[Callable[[], Iterator]] = None,
                  val_input_fn: Optional[Callable[[], Iterator]] = None,
-                 max_boxes: int = 100,
+                 max_boxes: Optional[int] = None,
                  enable_tensorboard: bool = True,
                  enable_weights_info: bool = False):
         if run_mode not in _RUN_MODES:
@@ -91,7 +91,11 @@ class Executor:
         self.is_multi_host = is_multi_host
         self.train_input_fn = train_input_fn
         self.val_input_fn = val_input_fn
-        self.max_boxes = max_boxes
+        # padded-GT row count: ctor override wins, else the config's
+        # encoder_params.max_boxes (a schema key this framework added —
+        # static GT shapes are a TPU need the reference didn't have)
+        self.max_boxes = int(max_boxes if max_boxes is not None
+                             else params.encoder_params.get("max_boxes", 100))
 
         self.model_dir = os.path.abspath(
             model_dir or os.path.join(
@@ -119,6 +123,7 @@ class Executor:
         self.use_ema = bool(t.optimizer.get("use_moving_average", False))
         self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
 
+        mesh_lib.resolve_strategy(t.get("strategy", {}))
         self.mesh = mesh_lib.create_mesh(
             spatial=int(t.get("spatial_partition", 1)))
         if self.grad_accum > 1:
@@ -211,9 +216,12 @@ class Executor:
         # would spam (the reference never hit this: its TF2 pod runs had a
         # single coordinator process writing summaries)
         is_chief = jax.process_index() == 0
+        tb_root = str(params.experiment.get("tensorboard_dir", "") or "")
         self.metrics = MetricsLogger(
             os.path.join(self.model_dir, "logs"), "train",
-            use_tensorboard=enable_tensorboard, enabled=is_chief)
+            use_tensorboard=enable_tensorboard, enabled=is_chief,
+            tensorboard_dir=os.path.join(
+                tb_root, params.experiment.name, "train") if tb_root else "")
         self.discord = DiscordLogger(enabled_flag=is_chief)
         rec = t.recovery
         self._use_inflection = bool(rec.use_inflection_detector)
@@ -698,9 +706,18 @@ class Executor:
         produced = [0]
 
         def make_eval_batch():
+            """Returns the next staged batch, or None at end-of-stream.
+
+            The None sentinel (instead of raising StopIteration) keeps the
+            consumer loop free of a broad `except StopIteration` that would
+            also swallow one escaping from infer()/_gather_and_accumulate()
+            and silently truncate the evaluation."""
             if max_batches is not None and produced[0] >= max_batches:
-                raise StopIteration
-            batch = next(batch_iter)
+                return None
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                return None
             produced[0] += 1
             shard = (mesh_lib.shard_batch if host_sharded
                      else mesh_lib.shard_global_batch)
@@ -709,8 +726,16 @@ class Executor:
                     "resize_scale": batch["resize_scale"]}
             return images, meta
 
+        def _producer():
+            # DevicePrefetcher's end-of-stream contract is StopIteration;
+            # translate the None sentinel at the producer boundary only.
+            item = make_eval_batch()
+            if item is None:
+                raise StopIteration
+            return item
+
         depth = int(self.params.training.get("device_prefetch", 2))
-        staged = (DevicePrefetcher(make_eval_batch, max(depth, 1))
+        staged = (DevicePrefetcher(_producer, max(depth, 1))
                   if depth > 0 else iter(make_eval_batch, None))
         pending = None  # one-deep inference pipeline
         try:
@@ -720,8 +745,6 @@ class Executor:
                     _gather_and_accumulate(*pending)
                 pending = (detections, meta)
                 n_batches += 1
-        except StopIteration:  # iter(make_eval_batch, None) path
-            pass
         finally:
             if isinstance(staged, DevicePrefetcher):
                 staged.close()

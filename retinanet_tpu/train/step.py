@@ -98,7 +98,13 @@ def make_frozen_bn_interceptor(regexes):
             path = getattr(mod, "path", None)
             if path is None and mod.scope is not None:
                 path = mod.scope.path
-            path_str = "/".join(str(p) for p in (path or ()))
+            # Param-path regexes (FREEZE_VARS_REGEX) are written against
+            # leaf paths like 'backbone/stem_bn/scale' — some (e.g.
+            # 'resnet_initial' = '^backbone/(stem|stem_bn)/') require a
+            # trailing slash that a bare module path 'backbone/stem_bn'
+            # lacks. Append one so module-path matching agrees with the
+            # optimizer's param-path freeze mask.
+            path_str = "/".join(str(p) for p in (path or ())) + "/"
             if any(r.search(path_str) for r in regexes):
                 kwargs = dict(kwargs)
                 kwargs["use_running_average"] = True

@@ -80,6 +80,46 @@ def test_freeze_backbone_keeps_backbone_constant():
     assert not np.allclose(before_head, after_head)     # training
 
 
+def test_freeze_resnet_initial_bn_runs_in_inference_mode():
+    """freeze_variables=['resnet_initial'] must put stem_bn in inference
+    mode (moving stats, no running-stat update), matching the reference's
+    Keras trainable=False semantics — regression test for the module-path
+    vs param-path trailing-slash mismatch in the frozen-BN interceptor."""
+    params = _params(["resnet_initial"])
+    model = build_model(params)
+    anchors = anchor_lib.from_params(params)
+    encoder = make_batched_encoder(anchors, params.encoder_params)
+    norm = make_device_normalizer(params)
+    loss_fn = RetinaNetLoss(4, params.loss)
+    tx, schedule = build_optimizer(
+        params.training.optimizer, 10,
+        freeze_variables=["resnet_initial"])
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = create_train_state(variables, tx)
+    step = jax.jit(step_lib.make_train_step(
+        model, loss_fn, encoder, norm, tx, schedule, False, 0.0,
+        jnp.float32, freeze_keys=["resnet_initial"]))
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_train_batch(4, (64, 64), 10, 4, seed=0).items()}
+
+    before_stem_bn = jax.tree_util.tree_map(
+        np.asarray, variables["batch_stats"]["backbone"]["stem_bn"])
+    before_other_bn = np.asarray(
+        variables["batch_stats"]["neck"]["p3_in_bn"]["bn"]["mean"])
+    for _ in range(3):
+        state, _ = step(state, batch)
+    after_stem_bn = jax.tree_util.tree_map(
+        np.asarray, state.batch_stats["backbone"]["stem_bn"])
+    after_other_bn = np.asarray(
+        state.batch_stats["neck"]["p3_in_bn"]["bn"]["mean"])
+    # frozen BN: running stats must not advance
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           before_stem_bn, after_stem_bn)
+    # unfrozen BN still advances
+    assert not np.allclose(before_other_bn, after_other_bn)
+
+
 def test_freeze_mask_patterns():
     params = _params([])
     model = build_model(params)

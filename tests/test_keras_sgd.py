@@ -63,6 +63,19 @@ def test_keras_sgd_matches_executed_tf_keras(momentum, nesterov):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_keras_sgd_momentum_zero_allocates_no_velocity():
+    """momentum=0.0 must not carry a params-sized velocity buffer in HBM
+    — the update is -lr*g regardless of history."""
+    tx = keras_sgd(_lr_schedule, momentum=0.0)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    state = tx.init(params)
+    assert state.velocity is None
+    # only the scalar schedule counter survives in the state tree
+    import jax
+    leaves = jax.tree_util.tree_leaves(state)
+    assert sum(x.size for x in leaves) == 1, leaves
+
+
 def test_keras_sgd_differs_from_optax_sgd_under_varying_lr():
     """Documents WHY keras_sgd exists: after an LR change the two
     formulations produce different updates."""

@@ -310,16 +310,146 @@ def perturb_params(variables, rel=1e-7, seed=99):
     return out
 
 
-def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
-                 config_path=FLAGSHIP_CONFIG, noise_floor=True):
+def state_distance(ref_snap, our_snap, keys_by_module):
+    """Cross-framework ABSOLUTE state agreement: per-module
+    ||ref - ours|| / ||ref|| over the shared keras-name coordinate
+    system. This is the metric the per-step delta fingerprints cannot
+    see — slow systematic drift (BN running stats under momentum 0.99,
+    velocity-buffer divergence across LR boundaries) accumulates HERE."""
+    out = {}
+    for module, keys in keys_by_module.items():
+        num, den = 0.0, 0.0
+        for k in keys:
+            d = ref_snap[k].astype(np.float64) - our_snap[k].astype(
+                np.float64)
+            num += float(np.sum(d * d))
+            den += float(np.sum(ref_snap[k].astype(np.float64) ** 2))
+        out[module] = float(np.sqrt(num) / max(np.sqrt(den), 1e-12))
+    return out
+
+
+def detection_agreement(ref_det, our_det, iou_thresh=0.5):
+    """Greedy one-to-one match of two detection sets. Returns
+    (matched_fraction, mean matched-pair IoU, mean |score delta|)."""
+    from retinanet_tpu.data.box_utils import corners_iou
+
+    total_ref, matched, ious, dscores = 0, 0, [], []
+    for b in range(ref_det["boxes"].shape[0]):
+        n_r = int(ref_det["valid_detections"][b])
+        n_o = int(our_det["valid_detections"][b])
+        total_ref += n_r
+        if n_r == 0 or n_o == 0:
+            continue
+        rb = np.asarray(ref_det["boxes"][b][:n_r], np.float32)
+        ob = np.asarray(our_det["boxes"][b][:n_o], np.float32)
+        iou = np.asarray(corners_iou(rb, ob))
+        cls_ok = (np.asarray(ref_det["classes"][b][:n_r])[:, None]
+                  == np.asarray(our_det["classes"][b][:n_o])[None, :])
+        iou = np.where(cls_ok, iou, 0.0)
+        used = np.zeros(n_o, bool)
+        for r in range(n_r):
+            cand = np.where(~used, iou[r], -1.0)
+            j = int(np.argmax(cand))
+            if cand[j] >= iou_thresh:
+                used[j] = True
+                matched += 1
+                ious.append(float(cand[j]))
+                dscores.append(abs(float(ref_det["scores"][b][r])
+                                   - float(our_det["scores"][b][j])))
+    frac = matched / max(total_ref, 1)
+    return (frac,
+            float(np.mean(ious)) if ious else 0.0,
+            float(np.mean(dscores)) if dscores else 0.0)
+
+
+def _run_reference_postprocess(ref_model, ref_cfg, size, images,
+                               score_threshold):
+    """The reference's full export postprocess graph, eager, on the
+    (now-trained) reference model (reference model/builder.py:153-190)."""
+    from retinanet.model.layers import (FuseDetections, FilterTopKDetections,
+                                        GenerateDetections,
+                                        TransformBoxesAndScores)
+    rp = EasyDict(json.loads(json.dumps(ref_cfg)))
+    rp.input.input_shape = [size, size]
+    rp.inference.score_threshold = score_threshold
+    raw = ref_model(images, training=False)
+    x = FuseDetections(
+        min_level=rp.architecture.feature_fusion.min_level,
+        max_level=rp.architecture.feature_fusion.max_level)(raw)
+    x = TransformBoxesAndScores(params=rp)(x)
+    x = FilterTopKDetections(
+        top_k=rp.inference.pre_nms_top_k,
+        filter_per_class=rp.inference.filter_per_class)(x)
+    det = GenerateDetections(
+        iou_threshold=rp.inference.iou_threshold,
+        score_threshold=rp.inference.score_threshold,
+        max_detections=rp.inference.max_detections,
+        soft_nms_sigma=rp.inference.soft_nms_sigma,
+        num_classes=rp.architecture.head.num_classes,
+        mode=rp.inference.mode)(x)
+    return {k: np.asarray(v) for k, v in det.items()}
+
+
+def _run_our_inference(params_cfg, model, st, images, score_threshold):
+    """Our serving path with the exact-parity knobs on trained state."""
     import jax
-    import tensorflow as tf
+    import jax.numpy as jnp
+    from retinanet_tpu.core.config import from_dict
+    from retinanet_tpu.data import anchors as anchor_lib
+    from retinanet_tpu.ops.postprocess import make_inference_fn
+
+    cfg = json.loads(json.dumps(params_cfg.to_dict()))
+    cfg["inference"]["score_threshold"] = score_threshold
+    cfg["inference"]["nms_top_k"] = cfg["inference"]["pre_nms_top_k"]
+    cfg["inference"]["use_approx_top_k"] = False
+    pc = from_dict(cfg)
+    anchors = anchor_lib.from_params(pc)
+    infer = jax.jit(make_inference_fn(
+        model, pc, anchors, normalizer=lambda im: im,
+        compute_dtype=jnp.float32))
+    det = jax.device_get(infer(st.params, st.batch_stats, images))
+    return {k: np.asarray(v) for k, v in det.items()}
+
+
+def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
+                 config_path=FLAGSHIP_CONFIG, noise_floor=True,
+                 depth=None, lr_override=None, sample_every=1,
+                 final_detections=False):
+    """Lockstep both frameworks for `n_steps`.
+
+    Long-horizon knobs (round-5, closing the last gap in the mAP-parity
+    chain — the 10-step window could not see BN running-stat drift under
+    momentum 0.99, LR warmup/boundary crossings under Keras velocity
+    semantics, or slow trajectory divergence):
+
+      * depth: backbone depth override (resnet18 keeps 300-500 step CPU
+        runs tractable; the step/loss/optimizer semantics under test are
+        depth-independent).
+      * lr_override: lr_params dict placed in BOTH configs — long runs
+        put warmup AND a piecewise boundary inside the window.
+      * sample_every: losses are recorded every step; the (expensive)
+        full-weight fingerprints — per-module delta over the sample
+        interval, and the cross-framework ABSOLUTE state distance that
+        detects cumulative drift — only at sampled steps.
+      * final_detections: end with detection-set agreement of the two
+        TRAINED models on a held-out batch (the reference export graph
+        vs our serving path), reported next to the noise-floor twin's
+        agreement (exact-vs-1ulp-perturbed) so chaotic divergence is not
+        misread as semantic divergence.
+    """
+    import jax
 
     freeze = ["backbone"] if mode == "freeze" else []
 
     with open(config_path) as f:
         ref_cfg = json.load(f)
     ref_cfg["floatx"]["precision"] = "float32"
+    if depth is not None:
+        ref_cfg["architecture"]["backbone"]["depth"] = int(depth)
+    if lr_override is not None:
+        ref_cfg["training"]["optimizer"]["lr_params"] = dict(lr_override)
+        ref_cfg["training"]["train_steps"] = max(
+            int(ref_cfg["training"]["train_steps"]), n_steps)
 
     ref_model, ref_step = build_reference_trainer(ref_cfg, size,
                                                   freeze=freeze)
@@ -333,7 +463,7 @@ def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
         cfg["training"]["freeze_variables"] = freeze
     params_cfg = from_dict(cfg)
 
-    _, variables = transplant(params_cfg, weights, size)
+    model, variables = transplant(params_cfg, weights, size)
     state, flax_step = build_flax_trainer(params_cfg, variables,
                                           freeze=freeze)
     pert_state = None
@@ -364,6 +494,7 @@ def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
     rows = []
     ref_prev = keras_snapshot()
     flax_prev = flax_snapshot(state)
+    pert_prev = flax_snapshot(pert_state) if pert_state is not None else None
 
     for i, b in enumerate(batches):
         images_tf, targets_tf = reference_targets(ref_cfg, size, b)
@@ -384,12 +515,6 @@ def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
             pert_state, pmetrics = flax_step(pert_state, dev_batch)
             pert_losses = {k: float(v) for k, v in pmetrics.items()}
 
-        ref_curr = keras_snapshot()
-        flax_curr = flax_snapshot(state)
-        ref_fp = delta_fingerprint(ref_prev, ref_curr, keys_by_module)
-        flax_fp = delta_fingerprint(flax_prev, flax_curr, keys_by_module)
-        ref_prev, flax_prev = ref_curr, flax_curr
-
         row = {"step": i}
         for key in ("total-loss", "class-loss", "box-loss",
                     "l2-regularization", "gradient-norm",
@@ -405,15 +530,88 @@ def run_lockstep(mode="plain", n_steps=10, size=256, batch=4,
                 / max(abs(flax_losses[k]), 1e-12)
                 for k in ("total-loss", "class-loss", "box-loss")
                 if k in flax_losses and k in pert_losses}
-        row["delta_fp"] = {
-            m: (ref_fp[m], flax_fp[m],
-                abs(ref_fp[m] - flax_fp[m]) / max(ref_fp[m], 1e-12))
-            for m in sorted(keys_by_module)}
+
+        if (i + 1) % sample_every == 0 or i == n_steps - 1:
+            ref_curr = keras_snapshot()
+            flax_curr = flax_snapshot(state)
+            ref_fp = delta_fingerprint(ref_prev, ref_curr, keys_by_module)
+            flax_fp = delta_fingerprint(flax_prev, flax_curr,
+                                        keys_by_module)
+            row["delta_fp"] = {
+                m: (ref_fp[m], flax_fp[m],
+                    abs(ref_fp[m] - flax_fp[m]) / max(ref_fp[m], 1e-12))
+                for m in sorted(keys_by_module)}
+            row["state_fp"] = state_distance(ref_curr, flax_curr,
+                                             keys_by_module)
+            if pert_state is not None:
+                pert_curr = flax_snapshot(pert_state)
+                row["state_fp_floor"] = state_distance(
+                    flax_curr, pert_curr, keys_by_module)
+                pert_fp = delta_fingerprint(pert_prev, pert_curr,
+                                            keys_by_module)
+                row["delta_fp_floor"] = {
+                    m: abs(flax_fp[m] - pert_fp[m]) / max(flax_fp[m], 1e-12)
+                    for m in sorted(keys_by_module)}
+                pert_prev = pert_curr
+            ref_prev, flax_prev = ref_curr, flax_curr
         rows.append(row)
-    return rows
+
+    result = {"rows": rows}
+    if final_detections:
+        held = make_batches(1, batch, size, seed=4242)[0]
+        thr = 0.005
+
+        # Raw per-level forward agreement of the TRAINED models on the
+        # held-out batch — robust to the score-tie noise that makes
+        # detection matching of a noise-trained model uninformative (the
+        # 1-ulp twin itself mismatches on ties); judged against that twin.
+        def _our_raw(st):
+            import jax
+            out = model.apply({"params": st.params,
+                               "batch_stats": st.batch_stats},
+                              held["images"], train=False)
+            return {kind: {str(lvl): np.asarray(t, np.float64)
+                           for lvl, t in out[kind].items()}
+                    for kind in ("box-predictions", "class-predictions")}
+
+        ref_raw = ref_model(held["images"], training=False)
+        ref_raw = {kind: {str(lvl): np.asarray(t, np.float64)
+                          for lvl, t in ref_raw[kind].items()}
+                   for kind in ("box-predictions", "class-predictions")}
+        our_raw = _our_raw(state)
+
+        def _rel(a, b):
+            return {kind: {lvl: float(
+                np.max(np.abs(a[kind][lvl] - b[kind][lvl]))
+                / max(float(np.max(np.abs(a[kind][lvl]))), 1e-12))
+                for lvl in a[kind]} for kind in a}
+
+        result["outputs"] = {"ref_vs_ours": _rel(ref_raw, our_raw)}
+        if pert_state is not None:
+            result["outputs"]["floor"] = _rel(our_raw, _our_raw(pert_state))
+
+        ref_det = _run_reference_postprocess(
+            ref_model, ref_cfg, size, held["images"], thr)
+        our_det = _run_our_inference(params_cfg, model, state,
+                                     held["images"], thr)
+        frac, miou, dscore = detection_agreement(ref_det, our_det)
+        result["detections"] = {
+            "ref_count": int(np.sum(ref_det["valid_detections"])),
+            "our_count": int(np.sum(our_det["valid_detections"])),
+            "matched_fraction": frac, "mean_matched_iou": miou,
+            "mean_abs_score_delta": dscore}
+        if pert_state is not None:
+            pert_det = _run_our_inference(params_cfg, model, pert_state,
+                                          held["images"], thr)
+            pfrac, pmiou, pdscore = detection_agreement(our_det, pert_det)
+            result["detections_floor"] = {
+                "pert_count": int(np.sum(pert_det["valid_detections"])),
+                "matched_fraction": pfrac, "mean_matched_iou": pmiou,
+                "mean_abs_score_delta": pdscore}
+    return result if final_detections else rows
 
 
-def print_rows(rows, markdown=False):
+def print_rows(rows, markdown=False, only_sampled=False):
     loss_keys = ("total-loss", "class-loss", "box-loss",
                  "l2-regularization", "gradient-norm")
     if markdown:
@@ -423,6 +621,10 @@ def print_rows(rows, markdown=False):
     worst_loss = 0.0
     worst_fp = 0.0
     for row in rows:
+        if only_sampled and "delta_fp" not in row:
+            for k in loss_keys:
+                worst_loss = max(worst_loss, row[k][2])
+            continue
         cells = []
         for k in loss_keys:
             r, f, rel = row[k]
@@ -434,12 +636,24 @@ def print_rows(rows, markdown=False):
             print(f"step {row['step']}:")
             for k, c in zip(loss_keys, cells):
                 print(f"  {k:<20} {c}")
-        fps = row["delta_fp"]
-        fp_str = "  ".join(f"{m}:{rel:.2e}" for m, (_, _, rel)
-                           in fps.items())
-        worst_fp = max(worst_fp, max(rel for _, _, rel in fps.values()))
-        print(("  " if not markdown else "") +
-              f"  delta-fp rel err: {fp_str}")
+        if "delta_fp" in row:
+            fps = row["delta_fp"]
+            fp_str = "  ".join(f"{m}:{rel:.2e}" for m, (_, _, rel)
+                               in fps.items())
+            worst_fp = max(worst_fp,
+                           max(rel for _, _, rel in fps.values()))
+            print(("  " if not markdown else "") +
+                  f"  delta-fp rel err: {fp_str}")
+        if "state_fp" in row:
+            st_str = "  ".join(f"{m}:{v:.2e}"
+                               for m, v in row["state_fp"].items())
+            print(("  " if not markdown else "") +
+                  f"  state distance (ref vs ours): {st_str}")
+        if "state_fp_floor" in row:
+            fl_str = "  ".join(f"{m}:{v:.2e}"
+                               for m, v in row["state_fp_floor"].items())
+            print(("  " if not markdown else "") +
+                  f"  state distance 1-ulp floor:   {fl_str}")
         if row.get("noise_floor"):
             nf_str = "  ".join(f"{k}:{v:.2e}"
                                for k, v in row["noise_floor"].items())
@@ -450,6 +664,19 @@ def print_rows(rows, markdown=False):
     return worst_loss, worst_fp
 
 
+# LR schedule for long runs: warmup AND a 10x piecewise boundary INSIDE
+# the lockstep window (reference
+# optimizers/piecewise_constant_decay_with_warmup.py:4-35), at a bs-4-safe
+# magnitude. Boundary placement (60% in) leaves ~40% of the horizon to
+# observe post-drop trajectory agreement under Keras velocity semantics.
+def long_lr_params(n_steps):
+    return {"schedule_type": "piecewise_constant_decay",
+            "warmup_learning_rate": 0.001,
+            "warmup_steps": max(n_steps // 16, 2),
+            "values": [0.01, 0.001],
+            "boundaries": [int(n_steps * 0.6)]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
@@ -458,14 +685,60 @@ def main():
     ap.add_argument("--mode", default="all",
                     choices=["plain", "freeze", "all"])
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="long-horizon preset: resnet18, 400 steps @160^2, "
+                    "warmup + LR boundary inside the window, sampled "
+                    "fingerprints, final detection-set agreement")
+    ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--sample_every", type=int, default=1)
+    ap.add_argument("--out", default=None,
+                    help="write the full result JSON here")
     args = ap.parse_args()
+
+    if args.long:
+        n = args.steps if args.steps != 10 else 400
+        size = args.size if args.size != 256 else 160
+        depth = args.depth or 18
+        sample = args.sample_every if args.sample_every != 1 else 25
+        print(f"=== long-horizon lockstep: {n} steps, resnet{depth} "
+              f"@{size}^2, bs{args.batch}, sample_every={sample} ===")
+        result = run_lockstep(
+            "plain", n, size, args.batch, depth=depth,
+            lr_override=long_lr_params(n), sample_every=sample,
+            final_detections=True)
+        print_rows(result["rows"], markdown=args.markdown,
+                   only_sampled=True)
+        print("\nfinal raw-output agreement on held-out batch "
+              "(max|diff|/max|ref| per level):")
+        for tag in ("ref_vs_ours", "floor"):
+            if tag in result.get("outputs", {}):
+                for kind, lv in result["outputs"][tag].items():
+                    worst = max(lv.values())
+                    print(f"  {tag:<12} {kind:<18} worst={worst:.3e}  "
+                          + "  ".join(f"P{k}:{v:.1e}"
+                                      for k, v in sorted(lv.items())))
+        print("\nfinal detection-set agreement (held-out batch):")
+        print("  ref vs ours:", json.dumps(result["detections"]))
+        if "detections_floor" in result:
+            print("  1-ulp floor:", json.dumps(result["detections_floor"]))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=1)
+            print(f"wrote {args.out}")
+        return
 
     modes = ["plain", "freeze"] if args.mode == "all" else [args.mode]
     for mode in modes:
         print(f"\n=== mode: {mode} (steps={args.steps}, size={args.size}, "
               f"batch={args.batch}) ===")
-        rows = run_lockstep(mode, args.steps, args.size, args.batch)
+        rows = run_lockstep(mode, args.steps, args.size, args.batch,
+                            depth=args.depth,
+                            sample_every=args.sample_every)
         print_rows(rows, markdown=args.markdown)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"rows": rows}, f, indent=1)
+            print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
