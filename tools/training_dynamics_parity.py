@@ -678,6 +678,14 @@ def long_lr_params(n_steps):
 
 
 def main():
+    # Lockstep parity is a CPU experiment by construction: the reference
+    # side executes TF on CPU, so our side must use the same f32 CPU
+    # numerics — and the installed TPU plugin OVERRIDES the JAX_PLATFORMS
+    # env var, so pin the platform via config before first jax use.
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ.get("PARITY_JAX_PLATFORM", "cpu"))
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--size", type=int, default=256)
@@ -697,7 +705,9 @@ def main():
 
     if args.long:
         n = args.steps if args.steps != 10 else 400
-        size = args.size if args.size != 256 else 160
+        # size must be divisible by 2^max_level = 128 (the flagship config
+        # has max_level 7); 256 is the smallest that exercises all levels
+        size = args.size
         depth = args.depth or 18
         sample = args.sample_every if args.sample_every != 1 else 25
         print(f"=== long-horizon lockstep: {n} steps, resnet{depth} "
