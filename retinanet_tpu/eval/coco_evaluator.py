@@ -51,6 +51,12 @@ class COCOEvaluator:
         self._processed_detections: List[dict] = []
         self._image_ids: List[int] = []
 
+    @property
+    def processed_detections(self) -> List[dict]:
+        """COCO-result dicts accumulated so far (what evaluate() scores and
+        writes to prediction_file_path)."""
+        return self._processed_detections
+
     def _maybe_remap(self, class_id: int) -> int:
         if self._remap_class_ids:
             return self._class_name_to_orig_id[

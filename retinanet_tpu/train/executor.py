@@ -122,6 +122,8 @@ class Executor:
         self.batch_size = dict(t.batch_size)
         self.use_ema = bool(t.optimizer.get("use_moving_average", False))
         self.ema_decay = float(t.optimizer.get("moving_average_decay", 0.0))
+        # per-leg wall-clock breakdown of the most recent evaluate() call
+        self.last_eval_timing: Optional[Dict[str, float]] = None
 
         mesh_lib.resolve_strategy(t.get("strategy", {}))
         self.mesh = mesh_lib.create_mesh(
@@ -657,6 +659,15 @@ class Executor:
 
         params = self._eval_params()
         n_batches = 0
+        # per-leg wall-clock accounting (seconds, cumulative across the
+        # eval): producer legs (host_decode, h2d_shard) run in the
+        # prefetcher thread; consumer legs (staged_wait = time blocked on
+        # the producer, dispatch, gather, accumulate) on the main thread.
+        # Published as self.last_eval_timing so eval cost is attributable
+        # instead of one opaque wall-clock number.
+        timing = {"host_decode_s": 0.0, "h2d_shard_s": 0.0,
+                  "staged_wait_s": 0.0, "dispatch_s": 0.0,
+                  "gather_s": 0.0, "accumulate_s": 0.0}
         pipe = self.val_input_fn()
         # per-host-sharded val decode: each host's pipeline yields only its
         # contiguous 1/P slice of every global batch (P x less host decode,
@@ -679,6 +690,7 @@ class Executor:
                 # (tools/multiprocess_smoke.py), which the mocked layout
                 # tests could not.
                 from jax.experimental import multihost_utils
+                t0 = time.perf_counter()
                 detections = multihost_utils.process_allgather(
                     detections, tiled=True)
                 if host_sharded:
@@ -687,14 +699,19 @@ class Executor:
                     # assembled in (make_array_from_process_local_data)
                     meta = multihost_utils.process_allgather(
                         meta, tiled=True)
+                timing["gather_s"] += time.perf_counter() - t0
             else:
+                t0 = time.perf_counter()
                 detections = jax.device_get(detections)
+                timing["gather_s"] += time.perf_counter() - t0
             if is_chief:
+                t0 = time.perf_counter()
                 evaluator.accumulate_results({
                     "image_id": meta["image_id"],
                     "detections": detections,
                     "resize_scale": meta["resize_scale"],
                 })
+                timing["accumulate_s"] += time.perf_counter() - t0
 
         # Stage val batches onto the devices through the same background
         # prefetcher the train loop uses (data/prefetch.py): the H2D copy
@@ -714,14 +731,18 @@ class Executor:
             and silently truncate the evaluation."""
             if max_batches is not None and produced[0] >= max_batches:
                 return None
+            t0 = time.perf_counter()
             try:
                 batch = next(batch_iter)
             except StopIteration:
                 return None
+            timing["host_decode_s"] += time.perf_counter() - t0
             produced[0] += 1
             shard = (mesh_lib.shard_batch if host_sharded
                      else mesh_lib.shard_global_batch)
+            t0 = time.perf_counter()
             images = shard({"image": batch["image"]}, self.mesh)["image"]
+            timing["h2d_shard_s"] += time.perf_counter() - t0
             meta = {"image_id": batch["image_id"],
                     "resize_scale": batch["resize_scale"]}
             return images, meta
@@ -738,9 +759,19 @@ class Executor:
         staged = (DevicePrefetcher(_producer, max(depth, 1))
                   if depth > 0 else iter(make_eval_batch, None))
         pending = None  # one-deep inference pipeline
+        t_eval0 = time.perf_counter()
+        staged_it = iter(staged)
         try:
-            for images, meta in staged:
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    images, meta = next(staged_it)
+                except StopIteration:
+                    break
+                timing["staged_wait_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 detections = infer(params, self.state.batch_stats, images)
+                timing["dispatch_s"] += time.perf_counter() - t0
                 if pending is not None:
                     _gather_and_accumulate(*pending)
                 pending = (detections, meta)
@@ -750,7 +781,16 @@ class Executor:
                 staged.close()
         if pending is not None:
             _gather_and_accumulate(*pending)
-        logging.info("Evaluated %d batches", n_batches)
+        timing["total_s"] = time.perf_counter() - t_eval0
+        timing["n_batches"] = n_batches
+        # host_decode/h2d_shard run inside the prefetcher thread, so they
+        # OVERLAP the consumer legs — the attribution identity is
+        # total ~= staged_wait + dispatch + gather + accumulate (+ scoring),
+        # with staged_wait itself explained by producer legs exceeding the
+        # device rate.
+        self.last_eval_timing = dict(timing)
+        logging.info("Evaluated %d batches (timing: %s)", n_batches,
+                     {k: round(v, 3) for k, v in timing.items()})
         if not is_chief:
             return {}
         scores = evaluator.evaluate()

@@ -26,6 +26,9 @@ FLAGS = flags.FLAGS
 flags.DEFINE_integer("eval_num_images", 5000, "val set size")
 flags.DEFINE_integer("eval_input_size", 640, "square input resolution")
 flags.DEFINE_string("eval_workdir", None, "working directory")
+flags.DEFINE_string("eval_report_out", None,
+                    "also write the report JSON here (e.g. "
+                    "reports/eval_walltime.json)")
 
 
 def main(argv):
@@ -93,11 +96,21 @@ def main(argv):
         "coco_eval_s": round(coco_time.get("s", -1.0), 2),
         "inference_gather_s": round(total - coco_time.get("s", 0.0), 2),
         "imgs_per_sec_e2e": round(n / total, 1),
+        # per-leg breakdown from Executor.evaluate (seconds, cumulative):
+        # producer legs (host_decode, h2d_shard) run in the prefetcher
+        # thread and overlap the consumer legs (staged_wait, dispatch,
+        # gather, accumulate) — the consumer legs + COCOeval sum to the
+        # wall clock.
+        "legs": {k: round(v, 2)
+                 for k, v in (ex.last_eval_timing or {}).items()},
         "scores": {k: round(v, 4) for k, v in scores.items()},
     }
     out_path = os.path.join(workdir, "eval_walltime.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
+    if FLAGS.eval_report_out:
+        with open(FLAGS.eval_report_out, "w") as f:
+            json.dump(report, f, indent=1)
     print(json.dumps(report))
 
 
