@@ -58,3 +58,51 @@ def test_lockstep_training_dynamics(mode):
             assert rel <= 0.1, (
                 f"step {row['step']} delta-fingerprint[{module}]: "
                 f"ref={ref_fp} ours={our_fp} rel={rel:.3e} > 0.1")
+
+
+def test_long_horizon_drift():
+    """50 lockstep steps with LR warmup AND a piecewise boundary inside
+    the window (long_lr_params(50): warmup 3 steps, 0.01->0.001 at 30):
+    a CI pin of the 300-step study in PARITY.md /
+    reports/dynamics_long_300.json, catching slow systematic drift the
+    2-step smoke cannot see (BN running stats at momentum 0.99, LR
+    boundary crossings under Keras velocity semantics, trajectory bias).
+
+    The load-bearing assertion is the LAST one: the ABSOLUTE
+    cross-framework state distance per module must match the 1-ulp
+    chaos-floor twin's distance (a systematic drift grows with steps
+    while chaos saturates — measured final-step ratios are 0.99-1.05;
+    bound 1.5). Loss tolerances are the measured chaos envelope of this
+    geometry (max over 50 steps: total 5.2e-2 vs floor 6.0e-2,
+    box 8.9e-2 vs floor 9.6e-2), NOT precision claims — the precision
+    claims are l2 (global functional of every param, measured 1.1e-5)
+    and the post-clip gradient norm (measured 7.6e-7).
+    """
+    from tools.training_dynamics_parity import run_lockstep, long_lr_params
+
+    res = run_lockstep("plain", n_steps=50, size=128, batch=2, depth=18,
+                       lr_override=long_lr_params(50), sample_every=10,
+                       noise_floor=True)
+    rows = res["rows"] if isinstance(res, dict) else res
+    assert len(rows) == 50
+
+    for row in rows:
+        for key, bound in (("total-loss", 0.15), ("class-loss", 0.15),
+                           ("box-loss", 0.25), ("l2-regularization", 1e-4),
+                           ("gradient-norm", 1e-5)):
+            ref, ours, rel = row[key]
+            assert rel <= bound, (
+                f"step {row['step']} {key}: ref={ref} ours={ours} "
+                f"rel={rel:.3e} > {bound}")
+
+    sampled = [r for r in rows if "state_fp" in r]
+    assert len(sampled) >= 5
+    final = sampled[-1]
+    assert final["step"] == 49
+    for module, dist in final["state_fp"].items():
+        floor = final["state_fp_floor"][module]
+        # chaos saturates; drift doesn't. measured ratios 0.99-1.05.
+        assert dist <= 1.5 * floor + 1e-4, (
+            f"final state distance[{module}] {dist:.4f} exceeds 1.5x the "
+            f"1-ulp chaos floor {floor:.4f} — systematic trajectory "
+            "drift, not rounding")
