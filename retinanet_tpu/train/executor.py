@@ -355,8 +355,16 @@ class Executor:
 
     def _restore_checkpoint(self, step: int) -> None:
         self.ckpt_manager.wait_until_finished()  # settle in-flight saves
+        # Abstract tree from array metadata only: shapes/dtypes are known
+        # without forcing the freshly-initialized device state to the host
+        # (a full-TrainState D2H is ~275 MB for the flagship — minutes
+        # over a thin-transport runtime — and its VALUES are about to be
+        # overwritten by the restore anyway).
         abstract = jax.tree_util.tree_map(
-            self._ocp.utils.to_shape_dtype_struct, jax.device_get(self.state))
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), getattr(x, "dtype", None)
+                or np.asarray(x).dtype),
+            self.state)
         restored = self.ckpt_manager.restore(
             step, args=self._ocp.args.StandardRestore(abstract))
         self.state = jax.device_put(
