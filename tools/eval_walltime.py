@@ -83,6 +83,19 @@ def main(argv):
 
     ce.COCOEvaluator.evaluate = timed_eval
     try:
+        # Priming pass over a 2-batch subset: pays the one-time jit
+        # compile of the inference fn (minutes over tunneled runtimes;
+        # measured 175 s here) so the timed pass reflects the steady state
+        # an in-loop `validation_freq` eval actually costs — the compile
+        # is amortized over every eval of a training run. Both numbers
+        # are reported.
+        t0 = time.time()
+        saved_vs = ex.validation_samples
+        ex.validation_samples = 2 * int(ex.batch_size["val"])
+        ex.evaluate()
+        ex.validation_samples = saved_vs
+        prime_s = time.time() - t0
+
         t0 = time.time()
         scores = ex.evaluate()
         total = time.time() - t0
@@ -92,6 +105,7 @@ def main(argv):
     report = {
         "num_images": n,
         "input_size": size,
+        "prime_compile_s": round(prime_s, 2),
         "eval_total_s": round(total, 2),
         "coco_eval_s": round(coco_time.get("s", -1.0), 2),
         "inference_gather_s": round(total - coco_time.get("s", 0.0), 2),

@@ -32,6 +32,11 @@ flags.DEFINE_integer("input_size", 640, "square input resolution")
 flags.DEFINE_integer("iters", 20, "timed iterations per point")
 flags.DEFINE_string("out", "reports/serving_sweep_640.json",
                     "where to write the table")
+flags.DEFINE_bool("diagnose", False,
+                  "per-leg split (forward-only vs full pipeline) at each "
+                  "batch size, to attribute throughput dips (e.g. the bs8 "
+                  "local minimum) to the conv stack vs the decode/top-k/NMS "
+                  "leg; writes <out stem>_legs.json")
 
 
 def main(argv):
@@ -72,6 +77,20 @@ def main(argv):
             compute_dtype=jnp.bfloat16),
     }
 
+    # forward-only legs (normalize + conv stack to raw head outputs) for
+    # --diagnose: full-pipeline minus forward attributes the remainder to
+    # the decode/top-k/NMS leg without restructuring make_inference_fn
+    fwd_lanes = {}
+    if FLAGS.diagnose:
+        from retinanet_tpu.train import step as step_lib
+
+        def _jit_fwd(m):
+            raw = step_lib.make_eval_forward(m, jnp.bfloat16)
+            return jax.jit(lambda p, s, im: raw(p, s, normalizer(im)))
+
+        fwd_lanes["bf16"] = _jit_fwd(model)
+        fwd_lanes["int8"] = _jit_fwd(Int8Model(model, scales))
+
     rows = []
     for n in [int(s) for s in FLAGS.sizes]:
         images = jnp.asarray(np.random.default_rng(0).uniform(
@@ -82,13 +101,24 @@ def main(argv):
                              images, iters=FLAGS.iters)
             row[f"{name}_ms_per_batch"] = round(dt * 1000, 2)
             row[f"{name}_fps"] = round(n / dt, 1)
+            if name in fwd_lanes:
+                ffn = fwd_lanes[name]
+                fdt = device_time(
+                    lambda im, f=ffn: f(mp, bs_, im),
+                    images, iters=FLAGS.iters)
+                row[f"{name}_fwd_ms"] = round(fdt * 1000, 2)
+                row[f"{name}_post_ms"] = round((dt - fdt) * 1000, 2)
         rows.append(row)
         print(json.dumps(row))
 
-    with open(FLAGS.out, "w") as f:
+    out = FLAGS.out
+    if FLAGS.diagnose:
+        # keep the canonical sweep table untouched; legs go to a sibling
+        out = out.rsplit(".", 1)[0] + "_legs.json"
+    with open(out, "w") as f:
         json.dump({"input_size": size, "iters": FLAGS.iters,
                    "rows": rows}, f, indent=1)
-    print(f"wrote {FLAGS.out}")
+    print(f"wrote {out}")
 
     # markdown table for docs
     print("\n| bs | bf16 ms/batch | bf16 FPS | int8 ms/batch | int8 FPS |")
