@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import signal
+import threading
 import time
 from typing import Callable, Dict, Iterator, Optional
 
@@ -197,6 +198,15 @@ class Executor:
             self._train_step = jax.jit(base_step, donate_argnums=(0,))
 
         self._inference_fn = None  # built lazily for eval
+        # background AOT compile of the eval inference fn (see
+        # _prestart_eval_compile): the XLA compile of the full
+        # inference pipeline takes minutes on tunneled runtimes, and the
+        # reference paid it as a chief stall at the FIRST in-loop eval
+        # (reference executor.py:472-545 compiles serving graphs at first
+        # use). Overlapping it with early training steps removes the
+        # stall entirely.
+        self._inference_aot = None
+        self._eval_compile_thread: Optional[threading.Thread] = None
 
         # -- checkpointing -----------------------------------------------------
         import orbax.checkpoint as ocp
@@ -440,6 +450,11 @@ class Executor:
         meter = AverageMeter()
         global_bs = int(self.batch_size["train"])
 
+        # overlap the eval-inference compile with the first training
+        # steps so the first validation_freq eval doesn't stall the chief
+        if self.val_input_fn is not None and self.val_freq > 0:
+            self._prestart_eval_compile()
+
         logging.info(
             "Starting training from step %d for %d steps (trial %d/%d)",
             current, self.train_steps, self._current_trial, self._max_trials)
@@ -626,6 +641,65 @@ class Executor:
             self._inference_fn = jax.jit(infer)
         return self._inference_fn
 
+    def _eval_image_aval(self):
+        """ShapeDtypeStruct (with sharding) of one staged eval batch."""
+        h, w = (int(self.params.input.input_shape[0]),
+                int(self.params.input.input_shape[1]))
+        bs = int(self.batch_size["val"])
+        # materialize one zeros batch through the real staging path to
+        # read the exact sharding the eval loop will use (transient
+        # bs*h*w*3 bytes on device, freed immediately)
+        probe = mesh_lib.shard_global_batch(
+            {"image": np.zeros((bs, h, w, 3), np.uint8)}, self.mesh)["image"]
+        aval = jax.ShapeDtypeStruct(probe.shape, probe.dtype,
+                                    sharding=probe.sharding)
+        del probe
+        return aval
+
+    def _prestart_eval_compile(self) -> None:
+        """Kick off the eval-inference XLA compile in a background thread.
+
+        Called at the start of a training trial when in-loop evaluation
+        is configured: the AOT compile (jit.lower().compile()) runs
+        concurrently with the first training steps, so the first
+        `validation_freq` eval dispatches a ready executable instead of
+        stalling the chief for the full compile (minutes on tunneled
+        runtimes; the reference paid this stall at first eval). Uses
+        only abstract avals — no device memory, no reference to live
+        (donated) state buffers. On any failure the eval path falls back
+        to the ordinary jit compile."""
+        if self._inference_aot is not None or (
+                self._eval_compile_thread is not None
+                and self._eval_compile_thread.is_alive()):
+            return
+        infer = self._build_inference()
+        try:
+            params_aval, stats_aval = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding),
+                (self._eval_params(), self.state.batch_stats))
+            image_aval = self._eval_image_aval()
+        except Exception:
+            logging.exception("eval precompile: aval construction failed; "
+                              "first eval will compile inline")
+            return
+
+        def _work():
+            try:
+                t0 = time.perf_counter()
+                self._inference_aot = infer.lower(
+                    params_aval, stats_aval, image_aval).compile()
+                logging.info("eval inference precompiled in %.1fs "
+                             "(overlapped with training)",
+                             time.perf_counter() - t0)
+            except Exception:
+                logging.exception("eval precompile failed; first eval "
+                                  "will compile inline")
+
+        self._eval_compile_thread = threading.Thread(
+            target=_work, name="eval-precompile", daemon=True)
+        self._eval_compile_thread.start()
+
     def _eval_params(self):
         """EMA swap-in for evaluation when configured (ref:255-267)."""
         if self.use_ema and self.state.ema_params is not None:
@@ -646,7 +720,27 @@ class Executor:
         """
         if self.val_input_fn is None:
             raise ValueError("val_input_fn is required for evaluation")
-        infer = self._build_inference()
+        # prefer the background-precompiled executable (see
+        # _prestart_eval_compile); join first so an in-flight compile
+        # finishes rather than racing a second inline compile of the
+        # same program
+        if (self._eval_compile_thread is not None
+                and self._eval_compile_thread.is_alive()):
+            self._eval_compile_thread.join()
+        aot = [self._inference_aot]
+        if aot[0] is None:
+            self._build_inference()  # trace once, ahead of the loop
+
+        def infer(p, s, im):
+            if aot[0] is not None:
+                try:
+                    return aot[0](p, s, im)
+                except Exception:
+                    logging.exception(
+                        "precompiled eval executable rejected inputs; "
+                        "falling back to jit")
+                    aot[0] = None
+            return self._build_inference()(p, s, im)
         is_chief = jax.process_index() == 0
         evaluator = COCOEvaluator(
             input_shape=self.params.input.input_shape,

@@ -172,6 +172,32 @@ def test_eval_accumulates_each_image_once(tmp_path, data, monkeypatch):
     assert len(np.unique(real_ids)) == 16
 
 
+def test_eval_precompile_serves_every_batch(tmp_path, data, monkeypatch):
+    """_prestart_eval_compile AOT-compiles the inference fn in the
+    background; evaluate() must then serve every batch from the compiled
+    executable (identical scores) without ever touching the jit path."""
+    pattern, ann = data
+    params = _tiny_params(tmp_path, pattern, ann_path=ann)
+    ex = Executor(params, run_mode="val",
+                  val_input_fn=lambda: InputPipeline("val", params),
+                  enable_tensorboard=False)
+    baseline = ex.evaluate()
+
+    ex2 = Executor(params, run_mode="val",
+                   val_input_fn=lambda: InputPipeline("val", params),
+                   enable_tensorboard=False)
+    ex2._prestart_eval_compile()
+    assert ex2._eval_compile_thread is not None
+    ex2._eval_compile_thread.join(timeout=300)
+    assert ex2._inference_aot is not None
+    # any fallback to the jit path would blow up loudly
+    monkeypatch.setattr(
+        ex2, "_build_inference",
+        lambda: (_ for _ in ()).throw(AssertionError("jit fallback used")))
+    scores = ex2.evaluate()
+    assert scores == baseline
+
+
 def test_steps_per_execution_multi_step(tmp_path, data):
     """spe>1 wires make_multi_step: one scan dispatch per spe steps, with
     checkpoints landing on the configured interval."""

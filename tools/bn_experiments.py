@@ -18,6 +18,12 @@ Usage: python tools/bn_experiments.py [variant ...]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import retinanet_tpu.core.cache  # noqa: F401  persistent XLA cache
 
 import sys

@@ -14,6 +14,12 @@ Usage: PYTHONPATH=/root/.axon_site:. python tools/config_corpus_smoke.py
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import retinanet_tpu.core.cache  # noqa: F401
 
 import glob

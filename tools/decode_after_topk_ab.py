@@ -11,6 +11,12 @@ Usage: python tools/decode_after_topk_ab.py [--iters 30]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import sys
 

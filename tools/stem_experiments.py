@@ -24,6 +24,12 @@ the blocked kernel). Net: keep the reference 7x7 s2 stem.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import retinanet_tpu.core.cache  # noqa: F401
 
 import jax
