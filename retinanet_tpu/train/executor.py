@@ -968,6 +968,9 @@ class Executor:
                             max_iterations: Optional[int] = None):
         """Poll for new checkpoints and evaluate each
         (reference executor.py:455-470)."""
+        # compile the eval fn while waiting for the first checkpoint to
+        # appear (same overlap as the in-loop path; evaluate() joins)
+        self._prestart_eval_compile()
         current = None
         iterations = 0
         while max_iterations is None or iterations < max_iterations:
